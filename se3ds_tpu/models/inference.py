@@ -1,0 +1,328 @@
+"""Stateful pretrained-model inference API (reference models/models.py).
+
+TPU-native redesign of the reference `SE3DSModel`: the point-cloud memory
+is a *fixed-capacity* buffer (capacity = memory_frames * H * W points) with
+a write cursor, instead of the reference's unboundedly-growing `tf.concat`
+(models.py:239-245). Every frame writes exactly H*W slots; invalid points
+keep their void feature value, which the z-buffer splat skips, so no
+compaction is needed and every shape stays static under `jit`. The
+reference's void-point *filtering* (models.py:229-237) thereby becomes a
+no-op semantically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3ds_tpu import constants
+from se3ds_tpu.models import generator as generator_lib
+from se3ds_tpu.models import model_config
+from se3ds_tpu.ops import geometry
+
+
+class MemoryState(NamedTuple):
+  """Fixed-capacity point-cloud memory.
+
+  coords: (N, 4, CAP) float32 homogeneous coordinates (semantic cloud).
+  feats: (N, CAP, 1) float32 semantic features (void == INVALID_SEM_VALUE).
+  rgb_coords: (N, 4, CAP) float32 homogeneous coordinates (RGB cloud).
+  rgb: (N, CAP, 3) float32 RGB features in [0, 255] (void == -1).
+  cursor: () int32 number of slots written.
+  """
+  coords: jnp.ndarray
+  feats: jnp.ndarray
+  rgb_coords: jnp.ndarray
+  rgb: jnp.ndarray
+  cursor: jnp.ndarray
+
+
+class OutputData(NamedTuple):
+  """Prediction outputs (reference models.py:40-74)."""
+  proj_semantic: jnp.ndarray
+  pred_semantic: jnp.ndarray
+  proj_rgb: jnp.ndarray
+  pred_rgb: jnp.ndarray
+  proj_depth: jnp.ndarray
+  pred_depth: jnp.ndarray
+  mu: jnp.ndarray
+  logvar: jnp.ndarray
+  proj_mask: Optional[jnp.ndarray] = None
+
+
+def init_memory(batch_size: int, capacity: int) -> MemoryState:
+  """Creates an empty memory; all slots hold void features."""
+  return MemoryState(
+      coords=jnp.zeros((batch_size, 4, capacity), jnp.float32),
+      feats=jnp.full((batch_size, capacity, 1),
+                     float(constants.INVALID_SEM_VALUE), jnp.float32),
+      rgb_coords=jnp.zeros((batch_size, 4, capacity), jnp.float32),
+      rgb=jnp.full((batch_size, capacity, 3),
+                   float(constants.INVALID_RGB_VALUE), jnp.float32),
+      cursor=jnp.zeros((), jnp.int32),
+  )
+
+
+def _transform_position(xyz: jnp.ndarray) -> jnp.ndarray:
+  """(N, 3) -> (N, 4) with homogeneous 0 (reference models.py:120-125)."""
+  return jnp.concatenate([xyz, jnp.zeros_like(xyz[:, :1])], axis=1)
+
+
+def memory_add_pano(memory: MemoryState,
+                    pano_rgb: jnp.ndarray,
+                    pano_semantic: jnp.ndarray,
+                    pano_depth: jnp.ndarray,
+                    position: jnp.ndarray,
+                    depth_scale: float,
+                    mask_blurred: bool = True) -> MemoryState:
+  """Unprojects an RGB-D pano and writes it into the memory buffer.
+
+  Mirrors reference add_to_memory (models.py:180-245) with cursor-based
+  writes instead of concatenation.
+
+  Args:
+    memory: Current memory state.
+    pano_rgb: (N, H, W, 3) int/float RGB in [0, 255].
+    pano_semantic: (N, H, W, 1) semantic class image.
+    pano_depth: (N, H, W) depth in [0, 1].
+    position: (N, 3) world position.
+    depth_scale: Maximum depth in metres.
+    mask_blurred: Blank top/bottom 1/8th before unprojection.
+
+  Returns:
+    Updated MemoryState (cursor advanced by H*W).
+  """
+  pano_rgb = pano_rgb.astype(jnp.int32)
+  pano_semantic = pano_semantic.astype(jnp.int32)
+  if mask_blurred:
+    pano_rgb = geometry.mask_pano(
+        pano_rgb, masked_region_value=constants.INVALID_RGB_VALUE)
+
+  transformed_position = _transform_position(position.astype(jnp.float32))
+  xyz1, feats = geometry.equirectangular_to_pointcloud(
+      pano_semantic[..., 0], pano_depth, constants.INVALID_SEM_VALUE,
+      depth_scale, interpolation_method='nearest')
+  rgb_xyz1, rgb_feats = geometry.equirectangular_to_pointcloud(
+      pano_rgb, pano_depth, constants.INVALID_RGB_VALUE,
+      depth_scale, interpolation_method='bilinear')
+
+  xyz1 = xyz1 + transformed_position[:, :, None]
+  rgb_xyz1 = rgb_xyz1 + transformed_position[:, :, None]
+
+  num_new = xyz1.shape[-1]
+  cap = memory.coords.shape[-1]
+  if num_new > cap:
+    raise ValueError(f'Frame has {num_new} points > memory capacity {cap}.')
+  cur = memory.cursor
+
+  coords = jax.lax.dynamic_update_slice(
+      memory.coords, xyz1.astype(jnp.float32), (0, 0, cur))
+  feats_buf = jax.lax.dynamic_update_slice(
+      memory.feats, feats[..., None].astype(jnp.float32), (0, cur, 0))
+  rgb_coords = jax.lax.dynamic_update_slice(
+      memory.rgb_coords, rgb_xyz1.astype(jnp.float32), (0, 0, cur))
+  rgb_buf = jax.lax.dynamic_update_slice(
+      memory.rgb, rgb_feats.astype(jnp.float32), (0, cur, 0))
+  return MemoryState(coords=coords, feats=feats_buf, rgb_coords=rgb_coords,
+                     rgb=rgb_buf,
+                     cursor=jnp.minimum(cur + num_new, cap).astype(jnp.int32))
+
+
+def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
+                   width: int, depth_scale: float,
+                   use_sorted_splat: bool = True):
+  """Splats the memory at a target pose into guidance images.
+
+  Returns (proj_semantic (N,H,W,1) f32, proj_depth (N,H,W), proj_rgb
+  (N,H,W,3), proj_mask (N,H,W,1)).
+  """
+  relative_position = _transform_position(position.astype(jnp.float32))
+  relative_coords = memory.coords - relative_position[..., None]
+  relative_rgb_coords = memory.rgb_coords - relative_position[..., None]
+  _, proj_semantic = geometry.project_feats_to_equirectangular(
+      memory.feats, relative_coords, height, width,
+      constants.INVALID_SEM_VALUE, depth_scale,
+      use_sorted_splat=use_sorted_splat)
+  proj_depth, proj_rgb = geometry.project_feats_to_equirectangular(
+      memory.rgb, relative_rgb_coords, height, width,
+      constants.INVALID_RGB_VALUE, depth_scale,
+      use_sorted_splat=use_sorted_splat)
+  proj_mask = (
+      (proj_depth > 0) & (proj_depth < 1)
+      & jnp.all(proj_rgb != constants.INVALID_RGB_VALUE, axis=-1)
+  ).astype(jnp.float32)[..., None]
+  return proj_semantic, proj_depth, proj_rgb, proj_mask
+
+
+class SE3DSModel:
+  """Interface to use a pretrained SE3DS model for predictions.
+
+  Mirrors the reference `SE3DSModel` (models.py:90-366). The heavy paths
+  (`add_to_memory`, `__call__`) are jit-compiled with static shapes.
+  """
+
+  def __init__(self, config: model_config.SE3DSConfig,
+               variables=None, rng: Optional[jax.Array] = None):
+    self.config = config
+    if config.batch_size != 1:
+      raise ValueError('Several methods do not support batch_size > 1.')
+    self.batch_size = config.batch_size
+    self.height = config.image_height
+    self.width = config.image_height * 2
+    self.depth_scale = config.depth_scale
+    self.capacity = config.memory_frames * self.height * self.width
+    dtype = jnp.bfloat16 if config.compute_dtype == 'bfloat16' else jnp.float32
+
+    self.model = generator_lib.ResNetGenerator(
+        image_size=config.image_height,
+        resnet_version=config.resnet_version, gen_dims=config.gen_dims,
+        use_blurred_mask=config.use_blurred_mask, dtype=dtype)
+    if variables is not None:
+      self.variables = variables
+    elif config.ckpt_path is not None:
+      from se3ds_tpu.train import checkpoints  # lazy import
+      self.variables = checkpoints.restore_ema_generator(config.ckpt_path)
+      print('Restored from', config.ckpt_path)
+    else:
+      rng = rng if rng is not None else jax.random.PRNGKey(0)
+      cond = {
+          'proj_image': jnp.zeros((1, self.height, self.width, 3)),
+          'proj_depth': jnp.zeros((1, self.height, self.width, 1)),
+          'proj_mask': jnp.zeros((1, self.height, self.width, 1)),
+          'blurred_mask': jnp.zeros((1, self.height, self.width, 1)),
+      }
+      self.variables = self.model.init(rng, cond, train=False)
+      print('Initializing SE3DS model from scratch.')
+
+    self.prev_rgb_frame = None
+    self._jit_add = jax.jit(functools.partial(
+        memory_add_pano, depth_scale=self.depth_scale),
+        static_argnames=('mask_blurred',))
+    self._jit_call = jax.jit(self._forward)
+    self.reset_memory()
+
+  # -- memory management ----------------------------------------------------
+
+  def reset_memory(self):
+    self._memory = init_memory(self.batch_size, self.capacity)
+
+  def get_memory_state(self) -> MemoryState:
+    return self._memory
+
+  def set_memory_state(self, state: MemoryState):
+    self._memory = state
+
+  def write_memory_as_pointcloud(self, filename: str):
+    """Writes valid RGB memory points of batch 0 to an ASCII .ply file."""
+    mem = self._memory
+    xyz = np.asarray(mem.rgb_coords[0, 0:3]).T  # (CAP, 3)
+    rgb = np.asarray(mem.rgb[0])  # (CAP, 3)
+    cursor = int(mem.cursor)
+    valid = np.all(rgb[:cursor] != constants.INVALID_RGB_VALUE, axis=-1)
+    xyz, rgb = xyz[:cursor][valid], rgb[:cursor][valid]
+    with open(filename, 'w') as fp:
+      fp.write('ply\n')
+      fp.write('format ascii 1.0 \n')
+      fp.write('element vertex %d\n' % xyz.shape[0])
+      fp.write('property float x\n')
+      fp.write('property float y\n')
+      fp.write('property float z\n')
+      fp.write('property uchar red\n')
+      fp.write('property uchar green\n')
+      fp.write('property uchar blue\n')
+      fp.write('end_header\n')
+      for i in range(xyz.shape[0]):
+        fp.write('{} {} {} {} {} {} \n'.format(
+            xyz[i, 0], xyz[i, 1], xyz[i, 2], int(rgb[i, 0]), int(rgb[i, 1]),
+            int(rgb[i, 2])))
+
+  def add_to_memory(self, pano_rgb, pano_semantic, pano_depth, position,
+                    mask_blurred: bool = True):
+    """Adds an equirectangular observation to memory (models.py:180-245)."""
+    pano_rgb = jnp.asarray(pano_rgb)
+    self.prev_rgb_frame = (pano_rgb / 255).astype(jnp.float32)
+    self._memory = self._jit_add(
+        self._memory, pano_rgb, jnp.asarray(pano_semantic),
+        jnp.asarray(pano_depth), jnp.asarray(position),
+        mask_blurred=mask_blurred)
+
+  # -- forward --------------------------------------------------------------
+
+  def _forward(self, variables, memory: MemoryState, prev_rgb_frame,
+               position):
+    proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
+        memory, position, self.height, self.width, self.depth_scale,
+        use_sorted_splat=self.config.use_sorted_splat)
+    proj_semantic_img = proj_semantic[..., 0]
+    proj_rgb_norm = jnp.clip(proj_rgb / 255.0, 0.0, 1.0)
+
+    inputs = {
+        'prev_image': prev_rgb_frame,
+        'proj_image': proj_rgb_norm,
+        'proj_depth': proj_depth[..., None],
+        'proj_mask': proj_mask,
+        'blurred_mask': jnp.zeros_like(proj_mask),
+    }
+    (mu, logvar, _, pred_depth, pred_semantic, _, generated_rgb
+     ) = self.model.apply(variables, inputs, train=False)
+    pred_depth = jnp.clip(pred_depth[..., 0], 0.0, 1.0)
+    pc_rgb = jnp.clip((generated_rgb * 255).astype(jnp.int32),
+                      constants.INVALID_RGB_VALUE, 255)
+    pred_rgb = (jnp.clip(generated_rgb, 0, 1) * 255).astype(jnp.int32)
+    pred_semantic = jnp.argmax(pred_semantic, axis=-1).astype(jnp.int32)
+    return dict(
+        proj_semantic=proj_semantic_img.astype(jnp.int32),
+        proj_depth=proj_depth,
+        proj_rgb=proj_rgb_norm,
+        proj_mask=proj_mask,
+        mu=mu, logvar=logvar,
+        pred_depth=pred_depth,
+        pred_semantic=pred_semantic,
+        pred_rgb=pred_rgb,
+        pc_rgb=pc_rgb,
+        generated_rgb=generated_rgb,
+    )
+
+  def __call__(self, position, add_preds_to_memory: bool = False,
+               sample_noise: bool = False,
+               use_projected_rgb: bool = False) -> OutputData:
+    """Predicts the frame at `position` (reference models.py:247-366)."""
+    del sample_noise
+    position = jnp.asarray(position, jnp.float32)
+    assert self.prev_rgb_frame is not None
+    out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
+                         position)
+
+    pred_rgb = out['pred_rgb']
+    pred_semantic = out['pred_semantic']
+    pred_depth = out['pred_depth']
+    generated_rgb = out['generated_rgb']
+    if add_preds_to_memory:
+      pred_rgb_mem = out['pc_rgb']
+      pred_semantic_mem = pred_semantic
+      pred_depth_mem = pred_depth
+      if use_projected_rgb:
+        pred_rgb = (out['proj_rgb'] * 255).astype(jnp.int32) + pred_rgb_mem
+        pred_semantic = out['proj_semantic'] + pred_semantic_mem
+        pred_depth = out['proj_depth'] + pred_depth_mem
+        generated_rgb = (jnp.clip(pred_rgb_mem, 0, 255) / 255).astype(
+            jnp.float32)
+      self.prev_rgb_frame = generated_rgb
+      self._memory = self._jit_add(
+          self._memory, pred_rgb_mem, pred_semantic_mem[..., None],
+          pred_depth_mem, position, mask_blurred=True)
+
+    return OutputData(
+        proj_semantic=out['proj_semantic'].astype(jnp.uint8),
+        pred_semantic=pred_semantic.astype(jnp.uint8),
+        proj_rgb=(out['proj_rgb'] * 255).astype(jnp.uint8),
+        pred_rgb=jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8),
+        proj_depth=out['proj_depth'],
+        pred_depth=pred_depth,
+        mu=out['mu'],
+        logvar=out['logvar'],
+        proj_mask=out['proj_mask'])

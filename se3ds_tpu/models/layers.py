@@ -1,0 +1,493 @@
+"""Neural-net building blocks for SE3DS models, as Flax linen modules.
+
+Behavioural contract follows the reference (`/root/reference/models/
+layers.py`), re-expressed functionally for JAX/TPU:
+
+* `pad2d` — circular (width-wrap) padding for panoramas. Circular wrapping
+  is active only when `train=False`, because training uses random crops of
+  panoramas (reference layers.py:67-71).
+* `PartialConv` — hole-aware convolution (Liu et al., ECCV'18) with
+  mask-ratio renormalisation and mask propagation (layers.py:100-209).
+  NOTE: when `spectral_norm=True` the reference updates the power-iteration
+  vector `u` but convolves with the *raw* kernel (layers.py:193-198 use
+  `self.kernel`, not `w_norm`); we reproduce that exactly for checkpoint
+  and training-dynamics parity.
+* `SpectralConv` — spectral-normalised conv (Miyato et al.) with one power
+  iteration per call; `u` lives in the 'spectral' variable collection and
+  is updated only when `train=True` (layers.py:275-347).
+* Batch norms use Flax `nn.BatchNorm`. Under GSPMD (jit over a sharded
+  batch) the batch-statistics mean IS the global mean — XLA inserts the
+  cross-device reduction — so the reference's SyncBatchNormalization
+  semantics come for free without explicit collectives.
+
+All tensors are NHWC. Keras-compatible initialisers are used
+(glorot_uniform kernels, zero biases) so training dynamics match.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Keras Conv2D defaults.
+conv_kernel_init = nn.initializers.glorot_uniform()
+# tf.initializers.TruncatedNormal() default stddev (reference layers.py:291).
+u_init = nn.initializers.truncated_normal(stddev=0.05)
+
+BN_MOMENTUM = 0.99  # Keras SyncBatchNormalization default.
+BN_EPSILON = 1e-3
+
+
+def pad2d(x: jnp.ndarray,
+          padding: int,
+          circular_pad: bool = False,
+          mode: str = 'CONSTANT',
+          constant_value: float = 0.0,
+          train: bool = False) -> jnp.ndarray:
+  """Pads (N, H, W, C) by `padding` on H and W (reference PadLayer).
+
+  Width padding wraps circularly when `circular_pad and not train`; height
+  padding always uses `mode`.
+  """
+  if padding == 0:
+    return x
+  p = padding
+  mode = mode.upper()
+  if mode == 'CONSTANT':
+    np_mode = 'constant'
+  elif mode == 'REFLECT':
+    np_mode = 'reflect'
+  elif mode == 'SYMMETRIC':
+    np_mode = 'symmetric'
+  else:
+    raise ValueError(f'Unsupported pad mode {mode}')
+
+  circular = circular_pad and not train
+  kwargs = dict(constant_values=constant_value) if np_mode == 'constant' else {}
+  if circular:
+    # Pad height with `mode`, then wrap width.
+    padded = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)), mode=np_mode,
+                     **kwargs)
+    left = padded[:, :, -p:, :]
+    right = padded[:, :, :p, :]
+    return jnp.concatenate([left, padded, right], axis=2)
+  return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=np_mode, **kwargs)
+
+
+def _to_pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
+  if isinstance(v, int):
+    return (v, v)
+  return tuple(v)  # type: ignore
+
+
+def _conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides, padding,
+            dilation=(1, 1)) -> jnp.ndarray:
+  """NHWC conv with HWIO kernel, TF-style padding string."""
+  return jax.lax.conv_general_dilated(
+      x, kernel, window_strides=_to_pair(strides), padding=padding,
+      rhs_dilation=_to_pair(dilation),
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def spectral_normalize(w_flat: jnp.ndarray, u: jnp.ndarray,
+                       eps: float = 1e-10):
+  """One power-iteration step (reference layers.py:311-332).
+
+  Args:
+    w_flat: (K, O) flattened kernel.
+    u: (1, O) power-iteration state.
+
+  Returns:
+    w_norm: (K, O) spectrally normalised kernel.
+    u_hat: (1, O) updated state (caller decides whether to store it).
+    sigma: (1, 1) estimated top singular value.
+  """
+  v = u @ w_flat.T
+  v_hat = v / (jnp.linalg.norm(v) + eps)
+  u_new = v_hat @ w_flat
+  u_hat = u_new / (jnp.linalg.norm(u_new) + eps)
+  u_hat = jax.lax.stop_gradient(u_hat)
+  v_hat = jax.lax.stop_gradient(v_hat)
+  sigma = (v_hat @ w_flat) @ u_hat.T
+  w_norm = w_flat / (sigma + eps)
+  return w_norm, u_hat, sigma
+
+
+class SpectralConv(nn.Module):
+  """Conv2D with spectral normalisation (reference SpectralConv)."""
+  features: int
+  kernel_size: Union[int, Tuple[int, int]]
+  strides: Union[int, Tuple[int, int]] = 1
+  padding: str = 'SAME'
+  use_bias: bool = True
+  activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    kh, kw = _to_pair(self.kernel_size)
+    in_ch = x.shape[-1]
+    kernel = self.param('kernel', conv_kernel_init,
+                        (kh, kw, in_ch, self.features))
+    u = self.variable(
+        'spectral', 'u',
+        lambda: u_init(self.make_rng('params'), (1, self.features),
+                       jnp.float32))
+    w_flat = kernel.reshape(-1, self.features)
+    w_norm, u_hat, _ = spectral_normalize(w_flat, u.value)
+    if train and not self.is_initializing():
+      u.value = u_hat
+    w_norm = w_norm.reshape(kernel.shape)
+    out = _conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
+                  self.strides, self.padding.upper())
+    if self.use_bias:
+      bias = self.param('bias', nn.initializers.zeros, (self.features,))
+      out = out + bias.astype(self.dtype)
+    if self.activation is not None:
+      out = self.activation(out)
+    return out
+
+
+class PartialConv(nn.Module):
+  """Partial convolution with optional (inert) spectral norm.
+
+  Returns (out, update_mask). See module docstring for the spectral-norm
+  caveat: the reference computes w_norm but convolves with the raw kernel
+  (layers.py:193-198), so `spectral_norm=True` only maintains `u`.
+  """
+  features: int
+  kernel_size: Union[int, Tuple[int, int]]
+  strides: Union[int, Tuple[int, int]] = 1
+  padding: str = 'SAME'
+  use_bias: bool = True
+  spectral_norm: bool = False
+  activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self,
+               feature: jnp.ndarray,
+               mask: Optional[jnp.ndarray] = None,
+               train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    kh, kw = _to_pair(self.kernel_size)
+    in_ch = feature.shape[-1]
+    kernel = self.param('kernel', conv_kernel_init,
+                        (kh, kw, in_ch, self.features))
+    if mask is None:
+      mask = jnp.ones(feature.shape[:3] + (1,), feature.dtype)
+
+    eps = 1e-6
+    slide_window_size = kh * kw * 1
+    mask_kernel = jnp.ones((kh, kw, 1, 1), feature.dtype)
+    update_mask = _conv2d(mask, mask_kernel, self.strides,
+                          self.padding.upper())
+    mask_ratio = slide_window_size / (update_mask + eps)
+    update_mask = jnp.clip(update_mask, 0.0, 1.0)
+    mask_ratio = mask_ratio * update_mask
+    mask = jax.lax.stop_gradient(mask)
+    update_mask = jax.lax.stop_gradient(update_mask)
+    mask_ratio = jax.lax.stop_gradient(mask_ratio)
+
+    if self.spectral_norm:
+      u = self.variable(
+          'spectral', 'u',
+          lambda: u_init(self.make_rng('params'), (1, self.features),
+                         jnp.float32))
+      w_flat = kernel.reshape(-1, self.features)
+      _, u_hat, _ = spectral_normalize(w_flat, u.value)
+      if train and not self.is_initializing():
+        u.value = u_hat
+      # Reference bug preserved: the normalised kernel is NOT used below.
+
+    out = feature * mask
+    out = _conv2d(out.astype(self.dtype), kernel.astype(self.dtype),
+                  self.strides, self.padding.upper())
+    if self.use_bias:
+      bias = self.param('bias', nn.initializers.zeros, (self.features,))
+      bias = bias.reshape(1, 1, 1, -1).astype(self.dtype)
+      out = (out - bias) * mask_ratio + bias
+      out = out * update_mask
+    else:
+      out = out * mask_ratio
+    if self.activation is not None:
+      out = self.activation(out)
+    return out, update_mask
+
+
+def PartialSpectralConv(*args, **kwargs) -> PartialConv:
+  """PartialConv with spectral_norm=True (reference PartialSpectralConv)."""
+  kwargs['spectral_norm'] = True
+  return PartialConv(*args, **kwargs)
+
+
+class Conv2D(nn.Module):
+  """Plain Conv2D with Keras defaults (glorot kernel, zero bias)."""
+  features: int
+  kernel_size: Union[int, Tuple[int, int]]
+  strides: Union[int, Tuple[int, int]] = 1
+  padding: str = 'SAME'
+  use_bias: bool = True
+  activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    del train
+    kh, kw = _to_pair(self.kernel_size)
+    kernel = self.param('kernel', conv_kernel_init,
+                        (kh, kw, x.shape[-1], self.features))
+    out = _conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                  self.strides, self.padding.upper())
+    if self.use_bias:
+      bias = self.param('bias', nn.initializers.zeros, (self.features,))
+      out = out + bias.astype(self.dtype)
+    if self.activation is not None:
+      out = self.activation(out)
+    return out
+
+
+class Conv2DTranspose(nn.Module):
+  """Transposed conv matching keras Conv2DTranspose output geometry."""
+  features: int
+  kernel_size: Union[int, Tuple[int, int]]
+  strides: Union[int, Tuple[int, int]] = 1
+  padding: str = 'SAME'
+  use_bias: bool = True
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    del train
+    out = nn.ConvTranspose(
+        features=self.features,
+        kernel_size=_to_pair(self.kernel_size),
+        strides=_to_pair(self.strides),
+        padding=self.padding.upper(),
+        use_bias=self.use_bias,
+        kernel_init=conv_kernel_init,
+        dtype=self.dtype,
+        name='convt')(x)
+    return out
+
+
+class SyncBatchNorm(nn.Module):
+  """BatchNorm over the global (sharded) batch.
+
+  Under GSPMD jit, `jnp.mean` over a batch sharded across the `data` mesh
+  axis lowers to a cross-device reduction automatically, reproducing the
+  reference's SyncBatchNormalization (all-reduce of batch stats every
+  forward pass) without explicit collectives.
+  """
+  momentum: float = BN_MOMENTUM
+  epsilon: float = BN_EPSILON
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=self.momentum,
+        epsilon=self.epsilon,
+        dtype=self.dtype,
+        name='bn')(x)
+
+
+class InstanceNorm(nn.Module):
+  """Instance normalisation (tfa InstanceNormalization defaults)."""
+  epsilon: float = 1e-3
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    del train
+    c = x.shape[-1]
+    gamma = self.param('gamma', nn.initializers.ones, (c,))
+    beta = self.param('beta', nn.initializers.zeros, (c,))
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + self.epsilon)
+    return (x - mean) * inv * gamma + beta
+
+
+def max_pool_2x2_same(x: jnp.ndarray) -> jnp.ndarray:
+  """MaxPool2D(pool=2, strides=2, padding=SAME)."""
+  return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding='SAME')
+
+
+def upsample_2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+  """Keras UpSampling2D() (nearest, x2)."""
+  n, h, w, c = x.shape
+  x = jnp.repeat(x, 2, axis=1)
+  x = jnp.repeat(x, 2, axis=2)
+  return x
+
+
+def avg_pool_3x3_stride2_same(x: jnp.ndarray) -> jnp.ndarray:
+  """tf.nn.avg_pool(ksize=3, strides=2, padding='SAME').
+
+  TF average-pools with zero padding but divides by the count of *valid*
+  (in-window, in-bounds) elements; flax nn.avg_pool divides by the full
+  window size, so we normalise explicitly.
+  """
+  summed = jax.lax.reduce_window(
+      x, 0.0, jax.lax.add, window_dimensions=(1, 3, 3, 1),
+      window_strides=(1, 2, 2, 1), padding='SAME')
+  counts = jax.lax.reduce_window(
+      jnp.ones_like(x[..., :1]), 0.0, jax.lax.add,
+      window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+      padding='SAME')
+  return summed / counts
+
+
+class Bottleneck(nn.Module):
+  """ResNet bottleneck with mask threading (reference Bottleneck)."""
+  filters: int = 128
+  strides: int = 1
+  expansion: int = 4
+  has_downsample: bool = False
+  circular_pad: bool = False
+  spectral: bool = False  # selects PartialSpectralConv vs PartialConv
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x, mask=None, train: bool = False):
+    partial = functools.partial(PartialConv, spectral_norm=self.spectral,
+                                dtype=self.dtype)
+    residual = x
+    out, update_mask = partial(self.filters, kernel_size=1, strides=1,
+                               padding='SAME', name='conv1')(x, mask,
+                                                             train=train)
+    out = SyncBatchNorm(dtype=self.dtype, name='act1_bn')(out, train=train)
+    out = nn.relu(out)
+    out = pad2d(out, 1, self.circular_pad, train=train)
+    update_mask = pad2d(update_mask, 1, self.circular_pad, train=train)
+    out, update_mask = partial(self.filters, kernel_size=3,
+                               strides=self.strides, padding='VALID',
+                               name='conv2')(out, update_mask, train=train)
+    out = SyncBatchNorm(dtype=self.dtype, name='act2_bn')(out, train=train)
+    out = nn.relu(out)
+    out, update_mask = partial(self.expansion * self.filters, kernel_size=1,
+                               strides=1, padding='SAME',
+                               name='conv3')(out, update_mask, train=train)
+    out = SyncBatchNorm(dtype=self.dtype, name='act3_bn')(out, train=train)
+    if self.has_downsample:
+      residual, _ = partial(self.filters * self.expansion, kernel_size=1,
+                            strides=self.strides, padding='SAME',
+                            use_bias=False,
+                            name='downsample')(x, mask, train=train)
+      residual = SyncBatchNorm(dtype=self.dtype, name='ds_norm')(
+          residual, train=train)
+    out = out + residual
+    out = nn.relu(out)
+    return out, update_mask
+
+
+class ResStack(nn.Module):
+  """Stack of Bottleneck blocks (reference ResStack)."""
+  inplanes: int
+  planes: int
+  blocks: int
+  strides: int = 1
+  expansion: int = 4
+  circular_pad: bool = False
+  spectral: bool = False
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x, mask=None, train: bool = False):
+    has_downsample = (self.strides != 1
+                      or self.inplanes != self.planes * self.expansion)
+    out, update_mask = Bottleneck(
+        filters=self.planes, strides=self.strides, expansion=self.expansion,
+        has_downsample=has_downsample, circular_pad=self.circular_pad,
+        spectral=self.spectral, dtype=self.dtype,
+        name='block0')(x, mask, train=train)
+    for i in range(1, self.blocks):
+      out, update_mask = Bottleneck(
+          filters=self.planes, expansion=self.expansion,
+          circular_pad=self.circular_pad, spectral=self.spectral,
+          dtype=self.dtype, name=f'block{i}')(out, update_mask, train=train)
+    return out, update_mask
+
+
+class TransBasicBlock(nn.Module):
+  """Residual block with optional transposed-conv upsampling."""
+  inplanes: int
+  planes: int
+  strides: int = 1
+  has_upsample: bool = False
+  circular_pad: bool = False
+  spectral: bool = False  # conv_fn == SpectralConv in the reference
+  dtype: Dtype = jnp.float32
+
+  def _conv(self, features, **kw):
+    if self.spectral:
+      return SpectralConv(features, dtype=self.dtype, **kw)
+    return Conv2D(features, dtype=self.dtype, **kw)
+
+  @nn.compact
+  def __call__(self, x, train: bool = False):
+    residual = x
+    out = pad2d(x, 1, self.circular_pad, train=train)
+    out = self._conv(self.inplanes, kernel_size=3, strides=1, padding='VALID',
+                     use_bias=False, name='main_conv1')(out, train=train)
+    out = SyncBatchNorm(dtype=self.dtype, name='main_bn1')(out, train=train)
+    out = nn.relu(out)
+    if self.has_upsample and self.strides != 1:
+      out = Conv2DTranspose(self.planes, kernel_size=3, strides=self.strides,
+                            padding='SAME', use_bias=False, dtype=self.dtype,
+                            name='main_convt')(out)
+    else:
+      out = pad2d(out, 1, self.circular_pad, train=train)
+      out = self._conv(self.planes, kernel_size=3, strides=self.strides,
+                       padding='VALID', use_bias=False,
+                       name='main_conv2')(out, train=train)
+    out = SyncBatchNorm(dtype=self.dtype, name='main_bn2')(out, train=train)
+
+    if self.has_upsample:
+      if self.strides != 1:
+        residual = Conv2DTranspose(self.planes, kernel_size=2,
+                                   strides=self.strides, padding='VALID',
+                                   use_bias=False, dtype=self.dtype,
+                                   name='up_convt')(x)
+      else:
+        residual = self._conv(self.planes, kernel_size=1, strides=self.strides,
+                              use_bias=False, name='up_conv')(x, train=train)
+      residual = SyncBatchNorm(dtype=self.dtype, name='up_bn')(residual,
+                                                               train=train)
+    out = out + residual
+    out = nn.relu(out)
+    return out
+
+
+class ResStackTranspose(nn.Module):
+  """Stack of TransBasicBlocks, upsampling at the end (reference)."""
+  inplanes: int
+  planes: int
+  blocks: int
+  strides: int = 1
+  circular_pad: bool = False
+  spectral: bool = False
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x, train: bool = False):
+    has_upsample = self.strides != 1 or self.inplanes != self.planes
+    out = x
+    for i in range(self.blocks - 1):
+      out = TransBasicBlock(
+          inplanes=self.inplanes, planes=self.inplanes,
+          circular_pad=self.circular_pad, spectral=self.spectral,
+          dtype=self.dtype, name=f'block{i}')(out, train=train)
+    out = TransBasicBlock(
+        inplanes=self.inplanes, planes=self.planes, strides=self.strides,
+        has_upsample=has_upsample, circular_pad=self.circular_pad,
+        spectral=self.spectral, dtype=self.dtype,
+        name=f'block{self.blocks - 1}')(out, train=train)
+    return out

@@ -1,0 +1,45 @@
+"""Config object for SE3DS inference models (reference model_config.py)."""
+
+import dataclasses
+from typing import Optional
+
+from se3ds_tpu import constants
+
+
+@dataclasses.dataclass
+class SE3DSConfig:
+  """Parameters used to configure SE3DS models."""
+  batch_size: int = 1
+  ckpt_path: Optional[str] = constants.CKPT_UNSEEN
+  hidden_dims: int = 128
+  random_noise: bool = True
+  z_dim: int = 32
+  circular_pad: bool = True
+  depth_scale: float = constants.DEPTH_SCALE
+  gen_dims: int = 128
+  image_height: int = 512
+  h_fov: float = 0.17
+  resnet_version: str = '101'
+  use_blurred_mask: bool = True
+  # TPU-native additions.
+  memory_frames: int = constants.PANO_VIDEO_LENGTH  # memory capacity in frames
+  compute_dtype: str = 'float32'  # 'bfloat16' for faster inference
+  use_sorted_splat: bool = True
+
+
+def get_config() -> SE3DSConfig:
+  """Returns the Val-Unseen config for SE3DS."""
+  return SE3DSConfig(ckpt_path=constants.CKPT_UNSEEN, resnet_version='101')
+
+
+def get_re10k_config() -> SE3DSConfig:
+  """Returns the RE10K config for SE3DS."""
+  return SE3DSConfig(ckpt_path=constants.CKPT_RE10K, resnet_version='101',
+                     use_blurred_mask=False)
+
+
+def get_test_config() -> SE3DSConfig:
+  """Returns config used for unit tests."""
+  return SE3DSConfig(ckpt_path=None, hidden_dims=4, z_dim=4, gen_dims=4,
+                     image_height=32, memory_frames=3,
+                     resnet_version='tiny')

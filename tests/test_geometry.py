@@ -1,0 +1,158 @@
+"""Golden-value tests for the geometry core against the TF reference.
+
+Golden arrays are produced by scripts/make_golden.py, which runs the actual
+reference implementation (/root/reference) on fixed synthetic inputs.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se3ds_tpu.ops import geometry, splat
+
+GOLDEN = np.load(
+    os.path.join(os.path.dirname(__file__), 'golden', 'geometry.npz'))
+
+
+@pytest.mark.parametrize('h', [3, 8, 16])
+def test_pixel_rays_golden(h):
+  rays = geometry.equirectangular_pixel_rays(h)
+  np.testing.assert_allclose(rays, GOLDEN[f'pixel_rays_{h}'], atol=1e-5)
+
+
+def test_equirectangular_to_pointcloud_rgb_golden():
+  xyz1, feats = geometry.equirectangular_to_pointcloud(
+      jnp.asarray(GOLDEN['e2p_rgb_in']), jnp.asarray(GOLDEN['e2p_depth_in']),
+      void_class=-1.0, depth_scale=10.0, interpolation_method='bilinear')
+  np.testing.assert_allclose(xyz1, GOLDEN['e2p_rgb_xyz1'], atol=1e-4)
+  np.testing.assert_allclose(feats, GOLDEN['e2p_rgb_feats'], atol=1e-4)
+
+
+def test_equirectangular_to_pointcloud_sem_golden():
+  xyz1, feats = geometry.equirectangular_to_pointcloud(
+      jnp.asarray(GOLDEN['e2p_sem_in']), jnp.asarray(GOLDEN['e2p_depth_in']),
+      void_class=0, depth_scale=10.0, interpolation_method='nearest')
+  np.testing.assert_allclose(xyz1, GOLDEN['e2p_sem_xyz1'], atol=1e-4)
+  np.testing.assert_array_equal(np.asarray(feats), GOLDEN['e2p_sem_feats'])
+
+
+def test_equirectangular_to_pointcloud_size_mult_golden():
+  xyz1, feats = geometry.equirectangular_to_pointcloud(
+      jnp.asarray(GOLDEN['e2p_rgb_in']), jnp.asarray(GOLDEN['e2p_depth_in']),
+      void_class=-1.0, depth_scale=10.0, size_mult=2.0,
+      interpolation_method='bilinear')
+  np.testing.assert_allclose(xyz1, GOLDEN['e2p_mult_xyz1'], atol=1e-3)
+  np.testing.assert_allclose(feats, GOLDEN['e2p_mult_feats'], atol=1e-3)
+
+
+def _corner_mask(shape_hw, batch):
+  """Masks pixel (0, 0) of batch 0, where the reference scatters garbage
+  from invalid points (see splat.py module docstring)."""
+  m = np.ones((batch,) + shape_hw, bool)
+  m[0, 0, 0] = False
+  return m
+
+
+@pytest.mark.parametrize('splat_fn', [splat.project_to_feat,
+                                      splat.project_to_feat_sorted])
+def test_project_to_feat_golden(splat_fn):
+  pd, pf = splat_fn(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
+  mask = _corner_mask((6, 12), 2)
+  np.testing.assert_allclose(np.asarray(pd)[mask], GOLDEN['ptf_depth'][mask],
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(pf)[mask], GOLDEN['ptf_feat'][mask],
+                             atol=1e-5)
+
+
+@pytest.mark.parametrize('splat_fn', [splat.project_to_feat,
+                                      splat.project_to_feat_sorted])
+def test_project_to_feat_scalar_golden(splat_fn):
+  pd, pf = splat_fn(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_sfeats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=0.0)
+  mask = _corner_mask((6, 12), 2)
+  np.testing.assert_allclose(np.asarray(pd)[mask], GOLDEN['ptf_sdepth'][mask],
+                             atol=1e-5)
+  np.testing.assert_allclose(np.asarray(pf)[mask], GOLDEN['ptf_sfeat'][mask],
+                             atol=1e-5)
+
+
+@pytest.mark.parametrize('use_sorted', [False, True])
+def test_project_feats_to_equirectangular_golden(use_sorted):
+  rd, rf = geometry.project_feats_to_equirectangular(
+      jnp.asarray(GOLDEN['pfe_feats']), jnp.asarray(GOLDEN['pfe_xyz1']),
+      height=8, width=16, void_class=-1.0, depth_scale=10.0,
+      use_sorted_splat=use_sorted)
+  mask = _corner_mask((8, 16), 2)
+  np.testing.assert_allclose(np.asarray(rd)[mask], GOLDEN['pfe_depth'][mask],
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(rf)[mask], GOLDEN['pfe_feat'][mask],
+                             atol=1e-4)
+
+
+def test_roundtrip_golden():
+  xyz1, feats = geometry.equirectangular_to_pointcloud(
+      jnp.asarray(GOLDEN['e2p_rgb_in']), jnp.asarray(GOLDEN['e2p_depth_in']),
+      void_class=-1.0, depth_scale=10.0, interpolation_method='bilinear')
+  rd, rf = geometry.project_feats_to_equirectangular(
+      feats, xyz1, height=8, width=16, void_class=-1.0, depth_scale=10.0)
+  mask = _corner_mask((8, 16), 2)
+  np.testing.assert_allclose(np.asarray(rd)[mask], GOLDEN['rt_depth'][mask],
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(rf)[mask], GOLDEN['rt_feat'][mask],
+                             atol=1e-4)
+
+
+def test_mask_pano_golden():
+  out = geometry.mask_pano(jnp.asarray(GOLDEN['pano_in']),
+                           masked_region_value=-1)
+  np.testing.assert_allclose(out, GOLDEN['mask_pano'], atol=1e-6)
+
+
+def test_crop_pano_golden():
+  out = geometry.crop_pano(jnp.asarray(GOLDEN['pano_in']))
+  np.testing.assert_allclose(out, GOLDEN['crop_pano'], atol=1e-6)
+
+
+def test_world_to_image_transform_golden():
+  t = geometry.get_world_to_image_transform(
+      (32.0, 64.0), jnp.array([0.8, 1.2]), rotations=jnp.array([0.3, -0.7]))
+  np.testing.assert_allclose(t, GOLDEN['w2i'], atol=1e-5)
+
+
+def test_splat_variants_agree():
+  """Dense and sorted splat must agree everywhere (both drop invalid pts)."""
+  pd1, pf1 = splat.project_to_feat(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
+  pd2, pf2 = splat.project_to_feat_sorted(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
+  np.testing.assert_allclose(pd1, pd2, atol=1e-6)
+  np.testing.assert_allclose(pf1, pf2, atol=1e-6)
+
+
+def test_rotate_pano_identity():
+  pano = jnp.asarray(GOLDEN['pano_in'])
+  eye = jnp.tile(jnp.eye(3)[None], (pano.shape[0], 1, 1))
+  out = geometry.rotate_pano(pano, eye)
+  # Pole rows collapse to atan2(0, 0) = 0 heading, and the wrap column
+  # maps to heading ±pi ambiguously (both also true of the TF reference);
+  # compare the interior only.
+  np.testing.assert_allclose(out[:, 1:-1, 1:-1], pano[:, 1:-1, 1:-1],
+                             atol=1e-3)
+
+
+def test_perspective_roundtrip_shapes():
+  img = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (24, 32, 3)),
+                    jnp.float32)
+  pano = geometry.project_perspective_image(
+      img, jnp.array([0.8, 1.0]), output_height=16)
+  assert pano.shape == (16, 32, 3)
+  persp = geometry.get_perspective_from_equirectangular_image(
+      pano, jnp.eye(3), jnp.eye(3), height=8, width=8)
+  assert persp.shape == (8, 8, 3)

@@ -1,0 +1,118 @@
+"""Inference runtime tests, mirroring the reference models_test.py:
+memory round-trip and the analytic-plane test that pins coordinate
+conventions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se3ds_tpu import constants
+from se3ds_tpu.models import inference, model_config
+
+
+@pytest.fixture(scope='module')
+def model():
+  return inference.SE3DSModel(model_config.get_test_config())
+
+
+def _synthetic_pano(h, seed=0):
+  rng = np.random.RandomState(seed)
+  w = h * 2
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.8, (1, h, w)).astype(np.float32)
+  return rgb, sem, depth
+
+
+def test_memory_roundtrip_reprojection(model):
+  """Add a pano at a pose and re-project at the same pose: most visible
+  pixels should return their original RGB (reference models_test.py:62-68)."""
+  model.reset_memory()
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h)
+  # Constant-ish depth so neighbouring pixels do not occlude each other.
+  depth = np.full_like(depth, 0.5)
+  pos = np.zeros((1, 3), np.float32)
+  model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+
+  proj_sem, proj_depth, proj_rgb, proj_mask = inference.memory_project(
+      model.get_memory_state(), jnp.asarray(pos), model.height, model.width,
+      model.depth_scale)
+  proj_rgb = np.asarray(proj_rgb)
+  mask = np.asarray(proj_mask[..., 0]) > 0
+  # Compare where projection is valid.
+  close = np.abs(proj_rgb - rgb) <= 1.0
+  frac = np.mean(np.all(close, axis=-1)[mask])
+  assert frac > 0.95, frac
+
+
+def test_memory_analytic_plane(model):
+  """A constant-depth vertical column maps to points at the correct world
+  coordinate (reference models_test.py:81-137)."""
+  model.reset_memory()
+  h = model.height
+  w = model.width
+  rgb = np.full((1, h, w, 3), 128, np.int32)
+  sem = np.ones((1, h, w, 1), np.int32)
+  depth_m = 1.0  # metres
+  depth = np.full((1, h, w), depth_m / model.depth_scale, np.float32)
+  pos = np.zeros((1, 3), np.float32)
+  model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+  mem = model.get_memory_state()
+  cursor = int(mem.cursor)
+  coords = np.asarray(mem.coords[0, :, :cursor])
+  feats = np.asarray(mem.feats[0, :cursor, 0])
+  valid = feats != constants.INVALID_SEM_VALUE
+  radius = np.linalg.norm(coords[:3, valid], axis=0)
+  np.testing.assert_allclose(radius, depth_m, atol=1e-3)
+  # Pixel at the image centre row, column at 3/4 width: heading = 0
+  # (x-axis); the unprojection heading grid runs 1.5pi -> -0.5pi, so
+  # column w*3/4 corresponds to heading 0 => point on the +x axis.
+  idx = (h // 2) * w + (3 * w) // 4
+  np.testing.assert_allclose(coords[0, idx], depth_m, atol=0.05)
+  np.testing.assert_allclose(coords[1, idx], 0.0, atol=0.05)
+  np.testing.assert_allclose(coords[2, idx], 0.0, atol=0.2)
+
+
+def test_forward_output_contract(model):
+  model.reset_memory()
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h, seed=3)
+  pos = np.zeros((1, 3), np.float32)
+  model.add_to_memory(rgb, sem, depth, pos)
+  out = model(np.array([[0.5, 0.0, 0.0]], np.float32))
+  assert out.pred_rgb.shape == (1, h, h * 2, 3)
+  assert out.pred_rgb.dtype == jnp.uint8
+  assert out.pred_depth.shape == (1, h, h * 2)
+  assert out.proj_mask.shape == (1, h, h * 2, 1)
+  assert float(jnp.max(out.pred_depth)) <= 1.0
+
+
+def test_autoregressive_memory_growth(model):
+  model.reset_memory()
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h, seed=4)
+  pos = np.zeros((1, 3), np.float32)
+  model.add_to_memory(rgb, sem, depth, pos)
+  c0 = int(model.get_memory_state().cursor)
+  _ = model(np.array([[0.3, 0.2, 0.0]], np.float32),
+            add_preds_to_memory=True)
+  c1 = int(model.get_memory_state().cursor)
+  assert c1 == c0 + h * h * 2
+  # Capacity is bounded: buffers never grow.
+  assert model.get_memory_state().coords.shape[-1] == model.capacity
+
+
+def test_ply_export(tmp_path, model):
+  model.reset_memory()
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h, seed=5)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32),
+                      mask_blurred=False)
+  path = tmp_path / 'cloud.ply'
+  model.write_memory_as_pointcloud(str(path))
+  lines = path.read_text().splitlines()
+  assert lines[0] == 'ply'
+  n = int([l for l in lines if l.startswith('element vertex')][0].split()[-1])
+  assert n > 0
+  assert len(lines) == 10 + n

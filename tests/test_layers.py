@@ -1,0 +1,144 @@
+"""Layer tests mirroring the reference test strategy (models/layers_test.py):
+shape laws, masking semantics, golden padding tensors, partial-conv
+equivalence with plain conv when mask is absent."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from se3ds_tpu.models import layers
+
+
+def test_pad2d_constant_golden():
+  x = jnp.arange(1 * 2 * 2 * 1, dtype=jnp.float32).reshape(1, 2, 2, 1)
+  out = layers.pad2d(x, 1, circular_pad=False, train=True)
+  expected = np.zeros((1, 4, 4, 1), np.float32)
+  expected[0, 1:3, 1:3, 0] = np.arange(4).reshape(2, 2)
+  np.testing.assert_array_equal(out, expected)
+
+
+def test_pad2d_circular_eval_vs_train():
+  x = jnp.arange(1 * 2 * 4 * 1, dtype=jnp.float32).reshape(1, 2, 4, 1)
+  # train=True: circular disabled, zero padding.
+  out_train = layers.pad2d(x, 1, circular_pad=True, train=True)
+  assert float(out_train[0, 1, 0, 0]) == 0.0
+  # train=False: width wraps.
+  out_eval = layers.pad2d(x, 1, circular_pad=True, train=False)
+  np.testing.assert_array_equal(out_eval[0, 1:3, 0, 0], x[0, :, -1, 0])
+  np.testing.assert_array_equal(out_eval[0, 1:3, -1, 0], x[0, :, 0, 0])
+  # Height is still zero padded.
+  assert float(jnp.sum(jnp.abs(out_eval[0, 0]))) == 0.0
+
+
+def test_pad2d_symmetric():
+  x = jnp.arange(1 * 2 * 2 * 1, dtype=jnp.float32).reshape(1, 2, 2, 1)
+  out = layers.pad2d(x, 1, circular_pad=False, mode='SYMMETRIC', train=True)
+  expected = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    mode='symmetric')
+  np.testing.assert_array_equal(out, expected)
+
+
+def test_partial_conv_equals_plain_conv_without_mask():
+  """PartialConv with a full mask reduces to a plain convolution wherever
+  the sliding window is fully covered (everywhere, with VALID padding)."""
+  rng = jax.random.PRNGKey(0)
+  x = jax.random.normal(rng, (2, 8, 8, 3))
+  pc = layers.PartialConv(4, kernel_size=3, strides=1, padding='VALID')
+  variables = pc.init(rng, x)
+  out, update_mask = pc.apply(variables, x)
+  np.testing.assert_allclose(np.asarray(update_mask), 1.0)
+
+  # Plain conv with the same kernel/bias.
+  kernel = variables['params']['kernel']
+  bias = variables['params']['bias']
+  plain = jax.lax.conv_general_dilated(
+      x, kernel, (1, 1), 'VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+  np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-4)
+
+
+def test_partial_conv_masked_pixel_invariance():
+  """Editing a masked-out pixel must not change the output
+  (reference layers_test.py:64-86)."""
+  rng = jax.random.PRNGKey(1)
+  x = jax.random.normal(rng, (1, 8, 8, 3))
+  mask = jnp.ones((1, 8, 8, 1)).at[0, 4, 4, 0].set(0.0)
+  pc = layers.PartialConv(4, kernel_size=3, strides=1, padding='SAME')
+  variables = pc.init(rng, x, mask)
+  out1, _ = pc.apply(variables, x, mask)
+  x2 = x.at[0, 4, 4, :].set(1000.0)
+  out2, _ = pc.apply(variables, x2, mask)
+  np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_spectral_conv_normalises_kernel():
+  rng = jax.random.PRNGKey(2)
+  x = jax.random.normal(rng, (2, 8, 8, 3))
+  sc = layers.SpectralConv(4, kernel_size=3)
+  variables = sc.init(rng, x)
+  out = sc.apply(variables, x)
+  assert out.shape == (2, 8, 8, 4)
+  # After many power iterations the effective kernel has top singular
+  # value ~1.
+  w = variables['params']['kernel'].reshape(-1, 4)
+  u = variables['spectral']['u']
+  for _ in range(50):
+    w_norm, u, _ = layers.spectral_normalize(w, u)
+  _, u_hat, sigma = layers.spectral_normalize(w, u)
+  top_sv = np.linalg.svd(np.asarray(w), compute_uv=False)[0]
+  np.testing.assert_allclose(float(sigma[0, 0]), top_sv, rtol=1e-3)
+
+
+def test_spectral_conv_updates_u_only_when_training():
+  rng = jax.random.PRNGKey(3)
+  x = jax.random.normal(rng, (1, 4, 4, 2))
+  sc = layers.SpectralConv(3, kernel_size=3)
+  variables = sc.init(rng, x)
+  u0 = variables['spectral']['u']
+  # train=False: no mutation requested -> same u.
+  _ = sc.apply(variables, x, train=False)
+  out, mutated = sc.apply(variables, x, train=True, mutable=['spectral'])
+  assert not np.allclose(np.asarray(mutated['spectral']['u']), np.asarray(u0))
+
+
+@pytest.mark.parametrize('strides,expected_hw', [(1, (8, 16)), (2, (4, 8))])
+def test_res_stack_shapes(strides, expected_hw):
+  rng = jax.random.PRNGKey(4)
+  x = jax.random.normal(rng, (2, 8, 16, 8))
+  mask = jnp.ones((2, 8, 16, 1))
+  stack = layers.ResStack(inplanes=8, planes=4, blocks=2, strides=strides)
+  variables = stack.init(rng, x, mask)
+  out, update_mask = stack.apply(variables, x, mask)
+  assert out.shape == (2,) + expected_hw + (16,)
+  assert update_mask.shape == (2,) + expected_hw + (1,)
+
+
+@pytest.mark.parametrize('strides,expected_hw', [(1, (8, 16)), (2, (16, 32))])
+def test_res_stack_transpose_shapes(strides, expected_hw):
+  rng = jax.random.PRNGKey(5)
+  x = jax.random.normal(rng, (2, 8, 16, 8))
+  stack = layers.ResStackTranspose(inplanes=8, planes=4, blocks=2,
+                                   strides=strides)
+  variables = stack.init(rng, x)
+  out = stack.apply(variables, x)
+  assert out.shape == (2,) + expected_hw + (4,)
+
+
+def test_avg_pool_matches_tf_edge_normalisation():
+  """TF avg_pool divides by the valid count at borders."""
+  x = jnp.ones((1, 5, 5, 1))
+  out = layers.avg_pool_3x3_stride2_same(x)
+  np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_instance_norm_statistics():
+  rng = jax.random.PRNGKey(6)
+  x = jax.random.normal(rng, (2, 16, 16, 3)) * 5 + 2
+  inorm = layers.InstanceNorm()
+  variables = inorm.init(rng, x)
+  out = inorm.apply(variables, x)
+  m = np.asarray(jnp.mean(out, axis=(1, 2)))
+  s = np.asarray(jnp.std(out, axis=(1, 2)))
+  np.testing.assert_allclose(m, 0.0, atol=1e-4)
+  np.testing.assert_allclose(s, 1.0, atol=1e-2)

@@ -1,0 +1,136 @@
+"""Train-step tests: single-device correctness + 8-device GSPMD DP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from se3ds_tpu.models import discriminator as disc_lib
+from se3ds_tpu.models import generator as gen_lib
+from se3ds_tpu.parallel import mesh as mesh_lib
+from se3ds_tpu.train import state as state_lib
+
+SIZE = 32
+
+
+def _make_models():
+  generator = gen_lib.ResNetGenerator(image_size=SIZE, gen_dims=2, z_dim=2,
+                                      resnet_version='tiny')
+  discriminator = disc_lib.SNMultiScaleDiscriminator(n_dis=2, dis_dims=2,
+                                                     n_layers=3)
+  return generator, discriminator
+
+
+def _make_batch(rng, batch):
+  k = jax.random.split(rng, 8)
+  h, w = SIZE, SIZE * 2
+  return {
+      'image': jax.random.uniform(k[0], (batch, h, w, 3)),
+      'depth': jax.random.uniform(k[1], (batch, h, w, 1)),
+      'proj_image': jax.random.uniform(k[2], (batch, h, w, 3)),
+      'proj_depth': jax.random.uniform(k[3], (batch, h, w, 1)),
+      'proj_mask': (jax.random.uniform(k[4], (batch, h, w, 1)) > 0.3
+                    ).astype(jnp.float32),
+      'blurred_mask': jnp.zeros((batch, h, w, 1)),
+  }
+
+
+def _make_state(generator, discriminator, g_tx, d_tx, batch):
+  rng = jax.random.PRNGKey(0)
+  cond = {k: batch[k][:1] for k in
+          ('proj_image', 'proj_depth', 'proj_mask', 'blurred_mask')}
+  disc_in = jnp.concatenate([batch['image'][:1], batch['depth'][:1]], -1)
+  return state_lib.create_train_state(rng, generator, discriminator, cond,
+                                      disc_in, g_tx, d_tx)
+
+
+@pytest.fixture(scope='module')
+def setup():
+  generator, discriminator = _make_models()
+  g_tx, d_tx = state_lib.make_optimizers(1e-4, 4e-4, 0.5, 0.999)
+  hp = state_lib.GANHParams(d_step_per_g_step=2, num_batched_steps=2)
+  batch = _make_batch(jax.random.PRNGKey(1), 4)  # 2 chunks of 2
+  st = _make_state(generator, discriminator, g_tx, d_tx, batch)
+  import functools
+  step_fn = jax.jit(functools.partial(
+      state_lib.train_step, generator=generator,
+      discriminator=discriminator, g_tx=g_tx, d_tx=d_tx, hp=hp))
+  return generator, discriminator, g_tx, d_tx, hp, batch, st, step_fn
+
+
+def test_train_step_runs_and_updates(setup):
+  generator, discriminator, g_tx, d_tx, hp, batch, st, step_fn = setup
+  new_state, metrics = step_fn(st, batch)
+  assert int(new_state.step) == 1
+  for k in ('gen/gen_loss', 'dis/disc_loss', 'gen/wc_loss',
+            'gen/depth_loss', 'gen/grad_norm'):
+    v = float(metrics[k])
+    assert np.isfinite(v), (k, v)
+  # Params changed.
+  g0 = jax.tree_util.tree_leaves(st.g_params)[0]
+  g1 = jax.tree_util.tree_leaves(new_state.g_params)[0]
+  assert not np.allclose(np.asarray(g0), np.asarray(g1))
+  # EMA assigned (first window): ema == new generator params.
+  e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+  np.testing.assert_allclose(np.asarray(e1), np.asarray(g1))
+
+
+def test_ema_decay_phase(setup):
+  generator, discriminator, g_tx, d_tx, hp, batch, st, step_fn = setup
+  st = st.replace(step=jnp.asarray(100, jnp.int32))  # past init window
+  new_state, _ = step_fn(st, batch)
+  g1 = jax.tree_util.tree_leaves(new_state.g_params)[0]
+  e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+  e0 = jax.tree_util.tree_leaves(st.ema_params)[0]
+  expected = np.asarray(e0) - (np.asarray(e0) - np.asarray(g1)) * (1 - 0.999)
+  np.testing.assert_allclose(np.asarray(e1), expected, atol=1e-6)
+
+
+def test_train_step_8device_dp(setup):
+  """Full train step jitted over an 8-device data-parallel mesh."""
+  generator, discriminator, g_tx, d_tx, hp, _, st, _step = setup
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 virtual devices')
+  mesh = mesh_lib.create_mesh(num_data=8, num_spatial=1)
+  batch = _make_batch(jax.random.PRNGKey(2), 16)  # 2 chunks of 8
+  batch = mesh_lib.shard_batch(batch, mesh)
+  rep = mesh_lib.replicated(mesh)
+  st = jax.device_put(st, rep)
+
+  import functools
+  step_fn = jax.jit(
+      functools.partial(state_lib.train_step, generator=generator,
+                        discriminator=discriminator, g_tx=g_tx, d_tx=d_tx,
+                        hp=hp),
+      out_shardings=(rep, rep))
+  new_state, metrics = step_fn(st, batch)
+  assert np.isfinite(float(metrics['gen/gen_loss']))
+  assert np.isfinite(float(metrics['dis/disc_loss']))
+
+
+def test_dp_matches_single_device(setup):
+  """DP over 8 devices must equal single-device on the same global batch
+  (the GSPMD claim: global-mean losses/stats are partition-invariant)."""
+  generator, discriminator, g_tx, d_tx, hp, _, st, _step = setup
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 virtual devices')
+  batch = _make_batch(jax.random.PRNGKey(3), 16)
+
+  import functools
+  base = functools.partial(state_lib.train_step, generator=generator,
+                           discriminator=discriminator, g_tx=g_tx, d_tx=d_tx,
+                           hp=hp)
+  # Single device.
+  s1, m1 = jax.jit(base)(st, batch)
+  # 8-device DP.
+  mesh = mesh_lib.create_mesh(num_data=8, num_spatial=1)
+  rep = mesh_lib.replicated(mesh)
+  st8 = jax.device_put(st, rep)
+  b8 = mesh_lib.shard_batch(batch, mesh)
+  s8, m8 = jax.jit(base, out_shardings=(rep, rep))(st8, b8)
+  np.testing.assert_allclose(float(m1['gen/gen_loss']),
+                             float(m8['gen/gen_loss']), rtol=2e-3)
+  g1 = np.asarray(jax.tree_util.tree_leaves(s1.g_params)[0])
+  g8 = np.asarray(jax.tree_util.tree_leaves(s8.g_params)[0])
+  np.testing.assert_allclose(g1, g8, atol=5e-4)
