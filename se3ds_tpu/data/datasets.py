@@ -26,9 +26,17 @@ import numpy as np
 
 from se3ds_tpu import constants
 from se3ds_tpu.data import example_pb
+from se3ds_tpu.data import native_loader
 from se3ds_tpu.data import png
 from se3ds_tpu.data import tensorproto
 from se3ds_tpu.data import tfrecord
+
+
+def _read_records(path: str):
+  """TFRecord payloads via the native C++ reader when built."""
+  if native_loader.available():
+    return native_loader.read_records(path)
+  return tfrecord.read_records(path)
 
 
 class DatasetType(enum.Enum):
@@ -189,7 +197,7 @@ class BaseDataset:
         if shuffle:
           rng.shuffle(order)
         for path in order:
-          for raw in tfrecord.read_records(path):
+          for raw in _read_records(path):
             yield raw
         epoch += 1
         if not files:
@@ -310,6 +318,9 @@ class R2RImageDataset(BaseDataset):
     return file_pattern
 
   def _parse(self, raw: bytes):
+    if native_loader.available() and not self.return_filename:
+      return native_loader.decode_image_example(
+          raw, self.preprocessed_image_height)
     return _decode_image_example(raw, self.preprocessed_image_height)
 
   def _transform_fn(self, features, rng):

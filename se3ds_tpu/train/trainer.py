@@ -1,0 +1,463 @@
+"""GAN training/eval orchestration (reference trainers/gan_manager.py +
+trainers/se3ds_trainer.py).
+
+One `Trainer` class covers both the abstract manager and the concrete
+SE3DS GAN: it builds models from gin bindings, streams TFRecord batches
+onto a `data` mesh axis, runs the jitted GSPMD train step in
+`num_batched_steps` clusters, checkpoints the 6-way state bundle with
+Orbax, logs scalar metrics + image grids, writes the operative config,
+and runs the continuous-eval loop (checkpoint polling -> autoregressive
+rollout -> per-frame FID/RMSE -> CSV + TB).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3ds_tpu import config as config_lib
+from se3ds_tpu import constants
+from se3ds_tpu.data import datasets as datasets_lib
+from se3ds_tpu.eval import metrics as metrics_lib
+from se3ds_tpu.models import discriminator as disc_lib
+from se3ds_tpu.models import generator as gen_lib
+from se3ds_tpu.parallel import mesh as mesh_lib
+from se3ds_tpu.train import checkpoints as ckpt_lib
+from se3ds_tpu.train import state as state_lib
+from se3ds_tpu.utils import image_grid
+from se3ds_tpu.utils import logger as logger_lib
+from se3ds_tpu.utils import parameter_overview
+from se3ds_tpu.utils import task_manager
+
+log = logging.getLogger('se3ds_tpu')
+
+_HOURS_IN_DAY = 24
+_SECS_IN_HOUR = 3600
+
+
+# Register model constructors for gin references.
+config_lib.register('ResNetGenerator', gen_lib.ResNetGenerator)
+config_lib.register('image_models.ResNetGenerator', gen_lib.ResNetGenerator)
+config_lib.register('SNMultiScaleDiscriminator',
+                    disc_lib.SNMultiScaleDiscriminator)
+config_lib.register('image_models.SNMultiScaleDiscriminator',
+                    disc_lib.SNMultiScaleDiscriminator)
+config_lib.register('R2RImageDataset', datasets_lib.R2RImageDataset)
+config_lib.register('R2RVideoDataset', datasets_lib.R2RVideoDataset)
+
+
+@config_lib.configurable('GAN', denylist=['model_dir'])
+class Trainer:
+  """SE3DS GAN trainer (reference GANManager + GAN)."""
+
+  def __init__(
+      self,
+      model_dir: str,
+      image_size: int = 128,
+      seed: int = 1,
+      optimizer_type: str = 'adam',
+      beta1: float = 0.0,
+      beta2: float = 0.999,
+      g_lr: float = 0.0002,
+      d_lr: float = 0.0002,
+      train_batch_size: int = 128,
+      test_batch_size: int = 128,
+      parallel_calls: int = 16,  # surface parity; loader is threaded
+      log_every_steps: int = 1000,
+      save_every_steps: int = 2000,
+      eval_every_steps: int = 2000,
+      num_epochs: int = 100,
+      d_step_per_g_step: int = 1,
+      num_batched_steps: int = 5,
+      show_num: int = 16,
+      shuffle_buffer_size: int = 1000,
+      ema_decay: float = 0.999,
+      ema_init_step: int = 0,
+      generator_fn=None,
+      discriminator_fn=None,
+      train_dataset_glob: Optional[str] = None,
+      test_dataset_glob: Optional[str] = None,
+      eval_size: Optional[int] = 10000,
+      test_split: str = 'val_seen',
+      eval_seq_len: int = 4,
+      predict_depth: bool = False,
+      # GAN-specific (reference se3ds_trainer.GAN).
+      lambda_gan: float = 1.0,
+      lambda_kld: float = 10.0,
+      lambda_wc: float = 10.0,
+      lambda_depth: float = 100.0,
+      dis_use_pred_depth: bool = True,
+      mask_blurred: bool = False,
+      # TPU-native knobs.
+      mesh: Optional[Any] = None,
+      max_to_keep: int = 200,
+      eval_avg_num: int = 1,
+  ):
+    self.model_dir = model_dir
+    self.image_size = image_size
+    self.seed = seed
+    if optimizer_type != 'adam':
+      raise NotImplementedError(optimizer_type)
+    self.beta1, self.beta2 = beta1, beta2
+    self.g_lr, self.d_lr = g_lr, d_lr
+    self.train_batch_size = train_batch_size
+    self.test_batch_size = test_batch_size
+    self.global_batch_size = train_batch_size
+    self.log_every_steps = log_every_steps
+    self.save_every_steps = save_every_steps
+    self.eval_every_steps = eval_every_steps
+    self.num_epochs = num_epochs
+    self.d_step_per_g_step = d_step_per_g_step
+    self.num_batched_steps = num_batched_steps
+    self.show_num = show_num
+    self.shuffle_buffer_size = shuffle_buffer_size
+    self.generator_fn = generator_fn
+    self.discriminator_fn = discriminator_fn
+    self.train_dataset_glob = train_dataset_glob
+    self.test_dataset_glob = test_dataset_glob
+    self.eval_size = eval_size
+    self.test_split = test_split
+    self.eval_seq_len = eval_seq_len
+    self.predict_depth = predict_depth
+    self.max_to_keep = max_to_keep
+    self.eval_avg_num = eval_avg_num
+
+    self.hp = state_lib.GANHParams(
+        lambda_gan=lambda_gan, lambda_kld=lambda_kld, lambda_wc=lambda_wc,
+        lambda_depth=lambda_depth, predict_depth=predict_depth,
+        dis_use_pred_depth=dis_use_pred_depth, mask_blurred=mask_blurred,
+        d_step_per_g_step=d_step_per_g_step, ema_decay=ema_decay,
+        ema_init_step=ema_init_step, num_batched_steps=num_batched_steps)
+
+    if mesh is None:
+      # Data-axis size must divide every sharded batch (train chunks use
+      # train_batch_size, eval uses test_batch_size).
+      import math as _math
+      num_data = _math.gcd(len(jax.devices()),
+                           _math.gcd(train_batch_size, test_batch_size))
+      mesh = mesh_lib.create_mesh(
+          num_data=num_data, num_spatial=1,
+          devices=jax.devices()[:num_data])
+    self.mesh = mesh
+    self.num_replicas = self.mesh.devices.size
+    if model_dir:
+      os.makedirs(model_dir, exist_ok=True)
+
+  # -- construction ----------------------------------------------------------
+
+  def _build_models(self):
+    """Creates G/D modules (reference gan_manager.py:169-173)."""
+    if self.generator_fn is not None:
+      self.generator = self.generator_fn(image_size=self.image_size)
+    else:
+      self.generator = config_lib.apply_config(
+          'ResNetGenerator', image_size=self.image_size)
+    if self.discriminator_fn is not None:
+      self.discriminator = self.discriminator_fn(image_size=self.image_size)
+    else:
+      self.discriminator = config_lib.apply_config(
+          'SNMultiScaleDiscriminator', image_size=self.image_size)
+    self.g_tx, self.d_tx = state_lib.make_optimizers(
+        self.g_lr, self.d_lr, self.beta1, self.beta2)
+
+  def _get_dataset(self):
+    """Reference se3ds_trainer.py:95-99."""
+    train_ds = config_lib.apply_config('R2RImageDataset',
+                                       image_size=self.image_size)
+    test_ds = config_lib.apply_config('R2RVideoDataset',
+                                      image_size=self.image_size)
+    return train_ds, test_ds
+
+  def _create_data(self, for_train: bool = True):
+    log.info('Creating Data...')
+    train_batch_size = self.global_batch_size * self.d_step_per_g_step
+    train_ds, test_ds = self._get_dataset()
+    self.train_dataset, self.test_dataset = train_ds, test_ds
+    if for_train:
+      self.train_ds = train_ds.input_fn(
+          split='train', global_batch_size=train_batch_size,
+          shuffle=True, shuffle_buffer_size=self.shuffle_buffer_size,
+          file_pattern=self.train_dataset_glob, seed=self.seed,
+          num_shards=jax.process_count(), shard_index=jax.process_index())
+    self.eval_ds_factory = functools.partial(
+        test_ds.input_fn, split=self.test_split,
+        global_batch_size=self.test_batch_size, shuffle=False,
+        file_pattern=self.test_dataset_glob, seed=self.seed, num_epochs=1,
+        num_shards=jax.process_count(), shard_index=jax.process_index())
+    self.train_num = train_ds.num_examples['train']
+    self.eval_num = test_ds.num_examples.get(self.test_split, 0)
+    self.train_steps_per_epoch = self.train_num // train_batch_size
+    log.info('train_num %s, eval_num %s', self.train_num, self.eval_num)
+
+  def _create_state(self, rng: Optional[jax.Array] = None):
+    rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+    h, w = self.image_size, self.image_size * 2
+    cond = {
+        'proj_image': jnp.zeros((1, h, w, 3)),
+        'proj_depth': jnp.zeros((1, h, w, 1)),
+        'proj_mask': jnp.zeros((1, h, w, 1)),
+        'blurred_mask': jnp.zeros((1, h, w, 1)),
+    }
+    disc_in = jnp.zeros((2, h, w, 4))
+    state = state_lib.create_train_state(
+        rng, self.generator, self.discriminator, cond, disc_in,
+        self.g_tx, self.d_tx)
+    return jax.device_put(state, mesh_lib.replicated(self.mesh))
+
+  def _generator_apply_eval(self, variables, cond):
+    """Eval-mode generator apply used by rollouts (circular padding ON)."""
+    full_cond = dict(cond)
+    if 'blurred_mask' not in full_cond:
+      full_cond['blurred_mask'] = jnp.zeros_like(cond['proj_mask'])
+    return self.generator.apply(variables, full_cond, train=False)
+
+  def _variables(self, state, ema: bool = False):
+    if ema:
+      return {'params': state.ema_params, **state.ema_state}
+    return {'params': state.g_params, **state.g_state}
+
+  # -- training --------------------------------------------------------------
+
+  def train(self):
+    """Training loop (reference gan_manager.py:387-423)."""
+    log.info('Create Data and Model...')
+    self.global_batch_size = self.train_batch_size
+    self._build_models()
+    self._create_data()
+    if self.num_epochs != -1:
+      num_train_steps = self.num_epochs * self.train_steps_per_epoch
+    else:
+      num_train_steps = 1
+    log.info('Total training steps %s, %s steps per epoch', num_train_steps,
+             self.train_steps_per_epoch)
+
+    state = self._create_state()
+    ckpt_mgr = ckpt_lib.CheckpointManager(self.model_dir, self.max_to_keep)
+    restored = ckpt_mgr.restore(state)
+    if restored is not None:
+      state = jax.device_put(restored, mesh_lib.replicated(self.mesh))
+      log.info('Restored from step %s', int(state.step))
+    else:
+      log.info('Initializing from scratch.')
+      parameter_overview.log_parameter_overview(
+          state.g_params, msg='Generator Variables')
+      parameter_overview.log_parameter_overview(
+          state.d_params, msg='Discriminator Variables')
+
+    start_step = int(state.step)
+    train_logger = logger_lib.UniversalLogger(
+        self.model_dir, step=start_step, num_train_steps=num_train_steps)
+    task_mgr = task_manager.TaskManagerWithCsvResults(self.model_dir)
+    config_lib.write_operative_config(self.model_dir, start_step)
+
+    rep = mesh_lib.replicated(self.mesh)
+    step_fn = jax.jit(
+        functools.partial(
+            state_lib.train_step, generator=self.generator,
+            discriminator=self.discriminator, g_tx=self.g_tx,
+            d_tx=self.d_tx, hp=self.hp),
+        out_shardings=(rep, rep), donate_argnums=(0,))
+
+    log.info('Start Training...')
+    metric_acc: Dict[str, list] = {}
+    for step in range(start_step, num_train_steps, self.num_batched_steps):
+      t_start = time.time()
+      for _ in range(self.num_batched_steps):
+        batch = self._device_batch(next(self.train_ds))
+        state, metrics = step_fn(state, batch)
+        for k, v in metrics.items():
+          metric_acc.setdefault(k, []).append(v)
+      jax.block_until_ready(metrics['gen/gen_loss'])
+
+      if step % self.log_every_steps < self.num_batched_steps:
+        result = self._reduce_metrics(metric_acc)
+        metric_acc = {}
+        result['steps_per_sec'] = self.num_batched_steps / max(
+            time.time() - t_start, 1e-7)
+        train_logger.log_scalars(step, **result)
+      if step > self.num_batched_steps and (
+          step % self.save_every_steps < self.num_batched_steps):
+        ckpt_mgr.save(int(state.step), jax.device_get(state))
+        config_lib.write_operative_config(self.model_dir, int(state.step))
+        image_dict, _ = self._get_image_grid(state, 'train')
+        train_logger.log_images(step, **image_dict)
+    ckpt_mgr.save(int(state.step), jax.device_get(state))
+    task_mgr.mark_training_done()
+    return state
+
+  def _device_batch(self, batch):
+    keep = ('image', 'depth', 'proj_image', 'proj_depth', 'proj_mask',
+            'blurred_mask')
+    out = {k: np.asarray(batch[k], np.float32) for k in keep}
+    if out['depth'].ndim == 3:
+      out['depth'] = out['depth'][..., None]
+    return mesh_lib.shard_batch(out, self.mesh)
+
+  def _reduce_metrics(self, acc: Dict[str, list]) -> Dict[str, float]:
+    result = {}
+    for k, vals in acc.items():
+      m = float(np.mean([np.asarray(v) for v in vals]))
+      if np.isnan(m):
+        raise ValueError(f'NaN losses recorded for {k}.')
+      result[k] = m
+    return result
+
+  # -- image grids -----------------------------------------------------------
+
+  def _get_image_grid(self, state, name_prefix: str = 'train',
+                      display_batch=None):
+    """Train: single forward; eval: full autoregressive rollout
+    (reference gan_manager.py:425-617)."""
+    image_dict = {}
+    output_dict = {}
+    if name_prefix == 'train':
+      batch = self._device_batch(next(self.train_ds))
+      chunk = {k: v[:v.shape[0] // self.d_step_per_g_step]
+               for k, v in batch.items()}
+      cond = {k: chunk[k] for k in ('proj_image', 'proj_depth', 'proj_mask',
+                                    'blurred_mask')}
+      outs = self._generator_apply_eval(self._variables(state), cond)
+      ema_outs = self._generator_apply_eval(
+          self._variables(state, ema=True), cond)
+      tile3 = lambda d: np.tile(np.asarray(d), [1, 1, 1, 3])
+      families = {
+          'raw_generated': np.asarray(outs[6]),
+          'ema_generated': np.asarray(ema_outs[6]),
+          'pred_depth': tile3(outs[3]),
+          'ema_pred_depth': tile3(ema_outs[3]),
+          'real_img': np.asarray(chunk['image']),
+          'real_depth': tile3(chunk['depth']),
+          'projected': np.asarray(chunk['proj_image']),
+          'blur_bbox': tile3(chunk['blurred_mask']),
+          'proj_mask': tile3(chunk['proj_mask']),
+      }
+    else:
+      batch = display_batch
+      jbatch = {k: jnp.asarray(batch[k]) for k in
+                ('image', 'depth', 'position', 'depth_scale', 'dataset_type')}
+      gen_frames, _ = metrics_lib.rollout_generated(
+          self._generator_apply_eval, self._variables(state), jbatch,
+          self.eval_seq_len, float(np.asarray(batch['depth_scale'])[0]),
+          self.predict_depth)
+      ema_frames, _ = metrics_lib.rollout_generated(
+          self._generator_apply_eval, self._variables(state, ema=True),
+          jbatch, self.eval_seq_len,
+          float(np.asarray(batch['depth_scale'])[0]), self.predict_depth)
+      cat = lambda frames: np.concatenate(
+          [np.asarray(frames[i]) for i in range(self.eval_seq_len)], 0)
+      real = np.concatenate(
+          [np.asarray(batch['image'][:, i])
+           for i in range(self.eval_seq_len)], 0)
+      families = {
+          'raw_generated': cat(gen_frames),
+          'ema_generated': cat(ema_frames),
+          'real_img': real,
+      }
+      # Interleave (example, frame) ordering for PNG export:
+      # (T*N, H, W, 3) stacked frame-major -> reorder to example-major.
+      n = int(batch['image'].shape[0])
+      ema_stack = cat(ema_frames).reshape(
+          self.eval_seq_len, n, *cat(ema_frames).shape[1:])
+      ema_stack = np.transpose(ema_stack, (1, 0, 2, 3, 4)).reshape(
+          -1, *cat(ema_frames).shape[1:])
+      output_dict['ema_generated_image'] = ema_stack
+      output_dict['ema_pred_depth'] = np.zeros_like(ema_stack)
+
+    for key, value in families.items():
+      image_dict.update(image_grid.get_grid_image_dict(
+          value, self.show_num, f'{name_prefix}_{key}'))
+    return image_dict, output_dict
+
+  # -- evaluation ------------------------------------------------------------
+
+  def test(self, unit_test: bool = False):
+    """Continuous-eval loop (reference gan_manager.py:233-322)."""
+    log.info('Start Testing...')
+    self.global_batch_size = self.test_batch_size
+    self._build_models()
+    self._create_data(for_train=False)
+    task_mgr = task_manager.TaskManagerWithCsvResults(
+        self.model_dir, score_file=f'scores_{self.test_split}.csv')
+    test_logger = logger_lib.UniversalLogger(self.model_dir, step=0)
+    eval_size = self.eval_size or self.eval_num
+    metric = metrics_lib.EvalMetric(
+        ds_factory=self.eval_ds_factory,
+        eval_num=eval_size,
+        batch_size=self.test_batch_size,
+        avg_num=self.eval_avg_num,
+        eval_seq_len=max(self.eval_seq_len, 2),
+        predict_depth=self.predict_depth)
+
+    state = self._create_state()
+    ckpt_mgr = ckpt_lib.CheckpointManager(self.model_dir, self.max_to_keep)
+    display_batch = next(self.eval_ds_factory())
+
+    if unit_test:
+      checkpoints = ['test-1']
+    else:
+      checkpoints = task_mgr.unevaluated_checkpoints(
+          timeout=_HOURS_IN_DAY * _SECS_IN_HOUR,
+          num_batched_steps=self.num_batched_steps,
+          eval_every_steps=self.eval_every_steps)
+
+    for checkpoint_path in checkpoints:
+      if not unit_test:
+        step_num = int(os.path.basename(checkpoint_path))
+        restored = ckpt_mgr.restore(state, step=step_num)
+        if restored is None:
+          log.info('Could not find %s', checkpoint_path)
+          continue
+        state = jax.device_put(restored, mesh_lib.replicated(self.mesh))
+      step = int(state.step)
+      image_dict, output_dict = self._get_image_grid(
+          state, 'eval', display_batch=display_batch)
+      image_dict = {f'{k}/{self.test_split}': v
+                    for k, v in image_dict.items()}
+
+      # Save per-frame RGB PNGs (reference gan_manager.py:274-296).
+      from se3ds_tpu.data import png as png_lib
+      image_output_dir = os.path.join(
+          self.model_dir, f'images/{self.test_split}/{step}')
+      outputs_to_save = {'rgb': 'ema_generated_image'}
+      for suffix, key in outputs_to_save.items():
+        image_outputs = output_dict[key]
+        num_examples = image_outputs.shape[0] // self.eval_seq_len
+        for example_idx in range(num_examples):
+          for frame_idx in range(self.eval_seq_len):
+            frame_dir = os.path.join(image_output_dir, str(frame_idx))
+            os.makedirs(frame_dir, exist_ok=True)
+            actual = example_idx * self.eval_seq_len + frame_idx
+            frame = (np.clip(image_outputs[actual], 0, 1)
+                     * 255).astype(np.uint8)
+            with open(os.path.join(frame_dir,
+                                   f'{example_idx}_{suffix}.png'),
+                      'wb') as wf:
+              wf.write(png_lib.encode_png(frame))
+
+      time_start = time.time()
+      fid, _, rmse = metric.calculate_fid_score(
+          self._generator_apply_eval, self._variables(state))
+      ema_fid, _, ema_rmse = metric.calculate_fid_score(
+          self._generator_apply_eval, self._variables(state, ema=True))
+      log.info('Step %d, Eval Time %.2f minutes', step,
+               (time.time() - time_start) / 60.0)
+
+      result_dict = {}
+      for i in fid:
+        curr = dict(fid=fid[i], ema_fid=ema_fid[i], rmse=rmse[i],
+                    ema_rmse=ema_rmse[i])
+        result_dict.update({f'{k}@{i}': v for k, v in curr.items()})
+      result_dict = {f'{self.test_split}/eval_image/{k}': v
+                     for k, v in result_dict.items()}
+      test_logger.log_scalars(step, **result_dict)
+      test_logger.log_images(step, **image_dict)
+      task_mgr.add_eval_result(checkpoint_path, result_dict, -1)
+      if unit_test:
+        return result_dict
