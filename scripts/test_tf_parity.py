@@ -1,0 +1,81 @@
+"""End-to-end TF->Flax checkpoint-conversion parity check.
+
+Builds the *reference* generator under TF (tf_keras), saves a checkpoint
+in the released-bundle format, converts it with
+se3ds_tpu.train.tf_import.convert_tf_checkpoint, and compares forward
+outputs (eval mode) between the reference TF model and this framework's
+Flax model on the same inputs.
+
+Run on CPU: JAX_PLATFORMS=cpu python scripts/test_tf_parity.py
+"""
+
+import os
+
+os.environ.setdefault('TF_USE_LEGACY_KERAS', '1')
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tempfile
+
+import numpy as np
+
+
+def main():
+  import jax
+  if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+  import jax.numpy as jnp
+  import tensorflow as tf
+  from _ref_tf import import_reference_models
+  from se3ds_tpu.models import generator as gen_lib
+  from se3ds_tpu.train import tf_import
+
+  image_models = import_reference_models()
+
+  size, gen_dims, version = 64, 4, '50'
+  h, w = size, size * 2
+  rng = np.random.RandomState(0)
+  cond_np = {
+      'proj_image': rng.rand(1, h, w, 3).astype(np.float32),
+      'proj_depth': rng.rand(1, h, w, 1).astype(np.float32),
+      'proj_mask': (rng.rand(1, h, w, 1) > 0.4).astype(np.float32),
+      'blurred_mask': np.zeros((1, h, w, 1), np.float32),
+  }
+
+  # Reference model forward + checkpoint.
+  tf_gen = image_models.ResNetGenerator(
+      image_size=size, gen_dims=gen_dims, z_dim=4, resnet_version=version)
+  tf_inputs = {k: tf.constant(v) for k, v in cond_np.items()}
+  tf_outs = tf_gen(inputs=[tf_inputs, None], training=False)
+  tf_rgb = tf_outs[6].numpy()
+  tf_depth = tf_outs[3].numpy()
+  ckpt = tf.train.Checkpoint(ema_generator=tf_gen)
+  ckpt_dir = tempfile.mkdtemp()
+  ckpt_path = ckpt.save(os.path.join(ckpt_dir, 'ck'))
+  print('reference forward + checkpoint done')
+
+  # Flax model template + conversion.
+  flax_gen = gen_lib.ResNetGenerator(
+      image_size=size, gen_dims=gen_dims, z_dim=4, resnet_version=version)
+  cond = {k: jnp.asarray(v) for k, v in cond_np.items()}
+  template = flax_gen.init(jax.random.PRNGKey(0), cond, train=False)
+  variables = tf_import.convert_tf_checkpoint(ckpt_path, template)
+  print('conversion resolved every leaf')
+
+  outs = flax_gen.apply(variables, cond, train=False)
+  jax_rgb = np.asarray(outs[6])
+  jax_depth = np.asarray(outs[3])
+
+  rgb_err = np.abs(jax_rgb - tf_rgb).max()
+  depth_err = np.abs(jax_depth - tf_depth).max()
+  print(f'max |rgb diff| = {rgb_err:.2e}, max |depth diff| = {depth_err:.2e}')
+  assert rgb_err < 5e-3, rgb_err
+  assert depth_err < 5e-3, depth_err
+  print('PARITY OK: converted checkpoint reproduces reference outputs')
+
+
+if __name__ == '__main__':
+  main()

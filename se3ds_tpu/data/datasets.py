@@ -295,6 +295,9 @@ class R2RImageDataset(BaseDataset):
                random_roll_and_flip: bool = True,
                random_crop: bool = True,
                random_resize_max: float = 2.0,
+               pad_minval: float = -0.05,
+               pad_maxval: float = 0.1,
+               re_10k_crop: bool = False,
                **kwargs):
     super().__init__(image_size=image_size, z_dim=z_dim,
                      num_classes=num_classes, **kwargs)
@@ -306,6 +309,9 @@ class R2RImageDataset(BaseDataset):
     self.random_roll_and_flip = random_roll_and_flip
     self.random_crop = random_crop
     self.random_resize_max = random_resize_max
+    self.pad_minval = pad_minval
+    self.pad_maxval = pad_maxval
+    self.re_10k_crop = re_10k_crop
 
   def get_file_patterns(self, split=None, file_pattern=None):
     if not file_pattern:
@@ -401,11 +407,113 @@ class R2RImageDataset(BaseDataset):
       output['z'] = rng.normal(size=(self.z_dim,)).astype(np.float32)
     return output
 
+  def _transform_fn_re10k(self, features, rng):
+    """RE10K variant: crops around the visible region's bounding box with
+    random padding/shift before resizing (reference
+    indoor_datasets.py:377-535; dispatch commented out there, kept
+    available here via re_10k_crop)."""
+    image = features['image']
+    height, width, _ = image.shape
+    proj_image = features['proj_image']
+    segmentation = features['segmentation'][..., None].astype(np.float32)
+    depth = features['depth'][..., None]
+    proj_depth = features['proj_depth'][..., None]
+    proj_mask = features['proj_mask'][..., None]
+    blurred_mask = features['blurred_mask']
+
+    if self.horizontal_mask_ratio > 0:
+      mask_ratio = rng.uniform(0, self.horizontal_mask_ratio)
+      keep_ratio = 1 - mask_ratio
+      image_start = rng.uniform(0, width)
+      image_end = (image_start + width * keep_ratio) % width
+      cols = np.arange(width, dtype=np.float32)
+      if image_start > image_end:
+        mask = (cols > image_start) | (cols < image_end)
+      else:
+        mask = (cols > image_start) & (cols < image_end)
+      proj_mask = proj_mask * mask[None, :, None].astype(np.float32)
+    if self.vertical_mask_ratio > 0:
+      mask_ratio = rng.uniform(0, self.vertical_mask_ratio)
+      image_height = height * (1 - mask_ratio)
+      image_start = rng.uniform(0, height - image_height)
+      rows = np.arange(height, dtype=np.float32)
+      mask = (rows > image_start) & (rows < image_start + image_height)
+      proj_mask = proj_mask * mask[:, None, None].astype(np.float32)
+
+    images = image
+    semantics = np.concatenate(
+        [segmentation, depth, proj_depth, proj_mask, blurred_mask], axis=-1)
+    bbox_out = features['bbox']
+
+    if self.re_10k_crop:
+      visible = 1 - blurred_mask[..., 0]
+      rows_any = np.any(visible > 0, axis=0)
+      cols_any = np.any(visible > 0, axis=1)
+      if rows_any.any() and cols_any.any():
+        pad_prcntg = rng.uniform(self.pad_minval, self.pad_maxval)
+        x_shift = rng.uniform(-0.5 * abs(pad_prcntg), 0.5 * abs(pad_prcntg))
+        y_shift = rng.uniform(-0.5 * abs(pad_prcntg), 0.5 * abs(pad_prcntg))
+        col_idx = np.where(cols_any)[0]
+        row_idx = np.where(rows_any)[0]
+        y_min = col_idx[0] / height - pad_prcntg + y_shift
+        y_max = col_idx[-1] / height + pad_prcntg + y_shift
+        x_min = row_idx[0] / width
+        x_max = row_idx[-1] / width
+        new_h = y_max - y_min
+        pad_w = (new_h - (x_max - x_min)) / 2
+        x_max = x_max + pad_w + x_shift
+        x_min = x_min - pad_w + x_shift
+        y_min_i = max(0, int(y_min * height))
+        x_min_i = max(0, int(x_min * width))
+        y_max_i = min(int(y_max * height), height)
+        x_max_i = min(int(x_max * width), width)
+        y_max_i = max(y_min_i + 1, y_max_i)
+        x_max_i = max(x_min_i + 1, x_max_i)
+
+        if self.random_crop:
+          aug = np.concatenate([images, semantics, proj_image], axis=-1)
+          aug = aug[y_min_i:y_max_i, x_min_i:x_max_i]
+          images = aug[..., :3]
+          semantics = aug[..., 3:8]
+          proj_image = aug[..., 8:]
+          resize_size = (self.image_size, self.image_size * 2)
+          images = np.clip(
+              _resize_np(images, resize_size, 'bilinear'), 0.0, 1.0)
+          semantics = _resize_np(semantics, resize_size, 'nearest')
+          proj_image = _resize_np(proj_image, resize_size, 'nearest')
+          bbox_out = np.asarray([x_min_i, y_min_i, x_max_i, y_max_i],
+                                np.float32)
+
+    seg, depth, proj_depth, proj_mask, blurred_mask = (
+        semantics[..., 0:1], semantics[..., 1:2], semantics[..., 2:3],
+        semantics[..., 3:4], semantics[..., 4:5])
+
+    output = dict(
+        image=images.astype(np.float32),
+        proj_image=proj_image.astype(np.float32),
+        proj_mask=proj_mask.astype(np.float32),
+        proj_depth=proj_depth.astype(np.float32),
+        segmentation=seg.astype(np.int32),
+        segmentation_valid=features['segmentation_valid'],
+        depth=depth.astype(np.float32),
+        depth_scale=np.float32(features['depth_scale']),
+        blurred_mask=blurred_mask.astype(np.float32),
+        dataset_type=np.int32(features['dataset_type']),
+        bbox=bbox_out,
+    )
+    if self.return_filename:
+      output['filename'] = features['filename']
+    if self.z_generator in ('cpu_generator', 'cpu_random'):
+      output['z'] = rng.normal(size=(self.z_dim,)).astype(np.float32)
+    return output
+
   def _train_transform_fn(self, features, rng):
+    if self.re_10k_crop and features['dataset_type'] == DatasetType.RE10K.value:
+      return self._transform_fn_re10k(features, rng)
     return self._transform_fn(features, rng)
 
   def _eval_transform_fn(self, features, rng):
-    features = self._transform_fn(features, rng)
+    features = self._train_transform_fn(features, rng)
     features['one_hot_mask'] = _one_hot(
         features['segmentation'][..., 0], self.num_classes)
     return features

@@ -48,7 +48,7 @@ def rollout_generated(generator_apply: Callable,
                       eval_seq_len: int,
                       depth_scale: float,
                       predict_depth: bool = True,
-                      use_sorted_splat: bool = True):
+                      splat_mode: str = 'fast'):
   """Runs the autoregressive rollout; returns per-frame generated RGB and
   depth RMSE (reference eval_metric.py:144-252 inner step_fn).
 
@@ -87,7 +87,7 @@ def rollout_generated(generator_apply: Callable,
     pred_depth, pred_rgb = geometry.project_feats_to_equirectangular(
         memory_feats, relative_coords, height, width,
         void_class=constants.INVALID_RGB_VALUE, depth_scale=depth_scale,
-        use_sorted_splat=use_sorted_splat)
+        splat_mode=splat_mode)
     pred_mask = ((pred_depth > 0) & (pred_depth < 1)
                  & jnp.all(pred_rgb != constants.INVALID_RGB_VALUE, axis=-1)
                  ).astype(jnp.float32)[..., None]

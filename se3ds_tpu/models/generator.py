@@ -220,7 +220,8 @@ class OutputHead(nn.Module):
       out = conv(features, kernel_size=3, strides=1, padding='VALID',
                  dtype=self.dtype, name=f'conv{i}')(out, train=train)
       if act:
-        out = nn.leaky_relu(out, negative_slope=0.2)
+        # Keras LeakyReLU() default slope (reference image_models.py:83).
+        out = nn.leaky_relu(out, negative_slope=0.3)
     return out
 
 
@@ -243,7 +244,8 @@ class GlobalContext(nn.Module):
                                 padding='VALID', dtype=self.dtype,
                                 name=f'conv{i}')(out, train=train)
       if act:
-        out = nn.leaky_relu(out, negative_slope=0.2)
+        # Keras LeakyReLU() default slope (reference image_models.py:112).
+        out = nn.leaky_relu(out, negative_slope=0.3)
     return out
 
 

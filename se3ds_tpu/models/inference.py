@@ -134,7 +134,7 @@ def memory_add_pano(memory: MemoryState,
 
 def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
                    width: int, depth_scale: float,
-                   use_sorted_splat: bool = True):
+                   splat_mode: str = 'fast'):
   """Splats the memory at a target pose into guidance images.
 
   Returns (proj_semantic (N,H,W,1) f32, proj_depth (N,H,W), proj_rgb
@@ -145,12 +145,10 @@ def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
   relative_rgb_coords = memory.rgb_coords - relative_position[..., None]
   _, proj_semantic = geometry.project_feats_to_equirectangular(
       memory.feats, relative_coords, height, width,
-      constants.INVALID_SEM_VALUE, depth_scale,
-      use_sorted_splat=use_sorted_splat)
+      constants.INVALID_SEM_VALUE, depth_scale, splat_mode=splat_mode)
   proj_depth, proj_rgb = geometry.project_feats_to_equirectangular(
       memory.rgb, relative_rgb_coords, height, width,
-      constants.INVALID_RGB_VALUE, depth_scale,
-      use_sorted_splat=use_sorted_splat)
+      constants.INVALID_RGB_VALUE, depth_scale, splat_mode=splat_mode)
   proj_mask = (
       (proj_depth > 0) & (proj_depth < 1)
       & jnp.all(proj_rgb != constants.INVALID_RGB_VALUE, axis=-1)
@@ -256,7 +254,7 @@ class SE3DSModel:
                position):
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
         memory, position, self.height, self.width, self.depth_scale,
-        use_sorted_splat=self.config.use_sorted_splat)
+        splat_mode=self.config.splat_mode)
     proj_semantic_img = proj_semantic[..., 0]
     proj_rgb_norm = jnp.clip(proj_rgb / 255.0, 0.0, 1.0)
 

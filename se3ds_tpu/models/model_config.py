@@ -24,7 +24,7 @@ class SE3DSConfig:
   # TPU-native additions.
   memory_frames: int = constants.PANO_VIDEO_LENGTH  # memory capacity in frames
   compute_dtype: str = 'float32'  # 'bfloat16' for faster inference
-  use_sorted_splat: bool = True
+  splat_mode: str = 'fast'  # 'scatter'|'sorted'|'fast' (see ops/splat.py)
 
 
 def get_config() -> SE3DSConfig:

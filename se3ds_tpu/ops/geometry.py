@@ -81,6 +81,9 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
   return jnp.stack([xs, ys, zs], axis=0).reshape(3, -1)
 
 
+SPLAT_MODES = ('scatter', 'sorted', 'fast')
+
+
 def project_feats_to_equirectangular(
     feats: jnp.ndarray,
     xyz1: jnp.ndarray,
@@ -89,6 +92,7 @@ def project_feats_to_equirectangular(
     void_class: float,
     depth_scale: float,
     use_sorted_splat: bool = False,
+    splat_mode: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
   """Projects point-cloud features into an equirectangular image.
 
@@ -103,7 +107,10 @@ def project_feats_to_equirectangular(
     width: Output pano width in pixels.
     void_class: Feature value marking an empty point.
     depth_scale: Maximum depth in metres.
-    use_sorted_splat: Selects the sort-based TPU fast path.
+    use_sorted_splat: Legacy alias for splat_mode='sorted'.
+    splat_mode: 'scatter' (exact, default), 'sorted' (exact, sort-based),
+      or 'fast' (packed single-scatter; byte-quantised winner selection,
+      see splat.project_to_feat_fast).
 
   Returns:
     reprojected_depth: (N, H, W) depth in [0, 1].
@@ -127,8 +134,13 @@ def project_feats_to_equirectangular(
   proj_z = rad
   proj_xyz1 = jnp.stack([proj_x, proj_y, proj_z, jnp.ones_like(proj_x)],
                         axis=1).astype(dtype)
-  splat_fn = (splat.project_to_feat_sorted if use_sorted_splat
-              else splat.project_to_feat)
+  if splat_mode is None:
+    splat_mode = 'sorted' if use_sorted_splat else 'scatter'
+  splat_fn = {
+      'scatter': splat.project_to_feat,
+      'sorted': splat.project_to_feat_sorted,
+      'fast': splat.project_to_feat_fast,
+  }[splat_mode]
   return splat_fn(proj_xyz1, feats.astype(dtype), height, width,
                   depth_scale=depth_scale, input_void_class=void_class)
 

@@ -303,7 +303,9 @@ class Trainer:
   def _reduce_metrics(self, acc: Dict[str, list]) -> Dict[str, float]:
     result = {}
     for k, vals in acc.items():
-      m = float(np.mean([np.asarray(v) for v in vals]))
+      # Reduce on device, one host fetch per key (host round-trips are
+      # expensive on relay-backed TPU runtimes).
+      m = float(np.asarray(jnp.mean(jnp.stack(vals))))
       if np.isnan(m):
         raise ValueError(f'NaN losses recorded for {k}.')
       result[k] = m

@@ -167,3 +167,31 @@ def test_video_dataset_end_to_end(fixture_dir):
   assert batch['depth'].shape == (2, t, 32, 64, 1)
   assert batch['segmentation'].shape == (2, t, 32, 64, 1)
   assert batch['mask'].shape == (2, t)
+
+
+def test_re10k_transform(tmp_path):
+  path = str(tmp_path / 'train-0.tfrecord')
+  synthetic.write_image_fixture(path, num_examples=3, height=64,
+                                dataset_type=2)
+  ds = datasets.R2RImageDataset(
+      image_size=32, preprocessed_image_height=64, data_dir=str(tmp_path),
+      re_10k_crop=True)
+  it = ds.input_fn('train', global_batch_size=3, num_epochs=1)
+  batch = next(it)
+  assert batch['image'].shape == (3, 32, 64, 3)
+  assert batch['proj_image'].shape == (3, 32, 64, 3)
+  # RE10K: blurred mask derives from visible mask.
+  assert batch['blurred_mask'].shape == (3, 32, 64, 1)
+  assert batch['bbox'].shape == (3, 4)
+
+
+def test_ema_module():
+  import jax.numpy as jnp
+  from se3ds_tpu.train import ema
+  tree = {'a': jnp.ones((2,)), 'b': jnp.zeros((3,))}
+  new = {'a': jnp.zeros((2,)), 'b': jnp.ones((3,))}
+  assigned = ema.assign_ema_vars_from_initial_values(tree, new)
+  np.testing.assert_allclose(assigned['a'], 0.0)
+  updated = ema.update_ema_variables(tree, new, 0.9)
+  np.testing.assert_allclose(np.asarray(updated['a']), 0.9)
+  np.testing.assert_allclose(np.asarray(updated['b']), 0.1)

@@ -156,3 +156,46 @@ def test_perspective_roundtrip_shapes():
   persp = geometry.get_perspective_from_equirectangular_image(
       pano, jnp.eye(3), jnp.eye(3), height=8, width=8)
   assert persp.shape == (8, 8, 3)
+
+
+def test_fast_splat_matches_exact_without_collisions():
+  """With depth gaps larger than both the 0.1 m window and the fast
+  mode's 7.8 cm buckets, fast == exact."""
+  rng = np.random.RandomState(7)
+  B, M, H, W = 2, 300, 6, 12
+  px = rng.randint(0, W, (B, M))
+  py = rng.randint(0, H, (B, M))
+  # Depths on a coarse grid (multiples of 1 m, >= 1) -> unique per pixel.
+  depth = rng.randint(1, 19, (B, M)).astype(np.float32)
+  # Make depths unique per pixel by adding per-point jitter on the metre
+  # grid (duplicates collapse to the same bucket AND window -> still fine
+  # as long as feats are identical; simpler: deduplicate pixels).
+  flat = py * W + px
+  for b in range(B):
+    _, first = np.unique(flat[b], return_index=True)
+    mask = np.zeros(M, bool)
+    mask[first] = True
+    depth[b, ~mask] = 0  # invalidate duplicates via depth=0
+  x = (px + 0.5) / W * 2 - 1
+  y = (py + 0.5) / H * 2 - 1
+  coords = np.stack([x * depth, y * depth, depth, np.ones_like(depth)], 1)
+  feats = rng.randint(0, 256, (B, M, 3)).astype(np.float32)
+
+  pd1, pf1 = splat.project_to_feat(
+      jnp.asarray(coords), jnp.asarray(feats), H, W,
+      depth_scale=20.0, input_void_class=-1.0)
+  pd2, pf2 = splat.project_to_feat_fast(
+      jnp.asarray(coords), jnp.asarray(feats), H, W,
+      depth_scale=20.0, input_void_class=-1.0)
+  np.testing.assert_allclose(np.asarray(pd1), np.asarray(pd2), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(pf1), np.asarray(pf2), atol=1e-6)
+
+
+def test_fast_splat_depth_always_exact():
+  pd1, _ = splat.project_to_feat(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
+  pd2, _ = splat.project_to_feat_fast(
+      jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
+      height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
+  np.testing.assert_allclose(np.asarray(pd1), np.asarray(pd2), atol=1e-6)
