@@ -12,11 +12,19 @@ RedNet-101 forward + TF scatter splat). The driver's north star is >=5x
 that anchor.
 
 Env knobs:
-  SE3DS_BENCH_SIZE   image height (default 512)
+  SE3DS_BENCH_MODE   inference (default) | train
+  SE3DS_BENCH_SIZE   image height (default 512; train mode default 128)
   SE3DS_BENCH_DTYPE  float32|bfloat16 (default bfloat16)
   SE3DS_BENCH_FRAMES memory capacity in frames (default 2)
   SE3DS_BENCH_ITERS  timed iterations (default 10)
   SE3DS_BENCH_GENDIMS generator dims (default 128)
+  SE3DS_BENCH_SPLAT  scatter|sorted|fast (default fast)
+  SE3DS_BENCH_BATCH  per-chip train batch (train mode, default 8)
+
+The GPU anchor (2.0 panoramas/sec) is a conservative estimate for the
+reference TF2 pipeline on a V100-class GPU: the generator alone is
+6.3 TFLOPs/frame (~50 ms at full fp32 utilisation on 125 TFLOP/s tensor
+cores, realistically 100-200 ms), plus two tf scatter-based splats.
 """
 
 import json
@@ -25,9 +33,87 @@ import sys
 import time
 
 GPU_BASELINE_PANOS_PER_SEC = 2.0
+GPU_BASELINE_TRAIN_STEPS_PER_SEC = 1.0  # est. 128x256 batch-8 G+D step
+
+
+def bench_train():
+  """G+D train-step throughput at lowres config on this chip."""
+  import functools
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from se3ds_tpu.models import discriminator as disc_lib
+  from se3ds_tpu.models import generator as gen_lib
+  from se3ds_tpu.train import state as state_lib
+
+  size = int(os.environ.get('SE3DS_BENCH_SIZE', 128))
+  batch = int(os.environ.get('SE3DS_BENCH_BATCH', 4))
+  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 10))
+  # Full production dims (128 -> 1.1B-param G) do not fit a single-chip
+  # optimizer state in 16 GB HBM; 64 is the largest single-chip-trainable
+  # width. Multi-chip runs shard the batch (and, future work, the Adam
+  # moments) over the data axis.
+  gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 64))
+  dtype = (jnp.bfloat16 if os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
+           == 'bfloat16' else jnp.float32)
+  h, w = size, size * 2
+
+  generator = gen_lib.ResNetGenerator(
+      image_size=size, gen_dims=gen_dims, resnet_version='101', dtype=dtype)
+  discriminator = disc_lib.SNMultiScaleDiscriminator(
+      dis_dims=gen_dims, n_dis=2, n_layers=6, dtype=dtype)
+  g_tx, d_tx = state_lib.make_optimizers(1e-4, 4e-4, 0.5, 0.999)
+  hp = state_lib.GANHParams(d_step_per_g_step=2)
+
+  rng = jax.random.PRNGKey(0)
+  keys = jax.random.split(rng, 8)
+  full = batch * hp.d_step_per_g_step
+  batch_data = {
+      'image': jax.random.uniform(keys[0], (full, h, w, 3)),
+      'depth': jax.random.uniform(keys[1], (full, h, w, 1)),
+      'proj_image': jax.random.uniform(keys[2], (full, h, w, 3)),
+      'proj_depth': jax.random.uniform(keys[3], (full, h, w, 1)),
+      'proj_mask': jnp.ones((full, h, w, 1)),
+      'blurred_mask': jnp.zeros((full, h, w, 1)),
+  }
+  cond = {k: batch_data[k][:1] for k in
+          ('proj_image', 'proj_depth', 'proj_mask', 'blurred_mask')}
+  disc_in = jnp.concatenate(
+      [batch_data['image'][:1], batch_data['depth'][:1]], -1)
+  st = state_lib.create_train_state(jax.random.PRNGKey(1), generator,
+                                    discriminator, cond, disc_in, g_tx, d_tx)
+  step_fn = jax.jit(functools.partial(
+      state_lib.train_step, generator=generator,
+      discriminator=discriminator, g_tx=g_tx, d_tx=d_tx, hp=hp),
+      donate_argnums=(0,))
+
+  st, metrics = step_fn(st, batch_data)
+  _ = np.asarray(metrics['gen/gen_loss'])  # compile barrier (host fetch)
+  t0 = time.perf_counter()
+  _ = np.asarray(metrics['gen/gen_loss'])
+  fetch_latency = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    st, metrics = step_fn(st, batch_data)
+  _ = np.asarray(metrics['gen/gen_loss'])
+  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  steps_per_sec = iters / elapsed
+  result = {
+      'metric': (f'{w}x{h} batch-{batch} G+D train steps/sec/chip '
+                 f'(d:g=2:1)'),
+      'value': round(steps_per_sec, 4),
+      'unit': 'steps/sec',
+      'vs_baseline': round(
+          steps_per_sec / GPU_BASELINE_TRAIN_STEPS_PER_SEC, 4),
+  }
+  print(json.dumps(result))
 
 
 def main():
+  if os.environ.get('SE3DS_BENCH_MODE', 'inference') == 'train':
+    bench_train()
+    return
   import jax
   import jax.numpy as jnp
   import numpy as np

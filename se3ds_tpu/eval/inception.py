@@ -161,32 +161,110 @@ def get_inception(images: jnp.ndarray, variables,
   return _forward(variables, images)
 
 
-def load_keras_weights(h5_path: str):
-  """Converts a Keras InceptionV3 .h5 weight file to this module's
-  variable tree. Requires h5py at conversion time."""
-  import h5py
-  model = InceptionV3()
-  variables = jax.tree_util.tree_map(
-      np.asarray, init_variables(jax.random.PRNGKey(0)))
+def inception_model(version: str = 'V3',
+                    checkpoint_path: Optional[str] = None):
+  """Returns InceptionV3 variables (gin surface parity with reference
+  inception_utils.inception_model, inception_utils.py:97-112).
 
-  with h5py.File(h5_path, 'r') as f:
-    # Keras names: conv2d[_k], batch_normalization[_k] in creation order.
-    conv_names = sorted(
-        [k for k in _walk_keras(f) if 'conv2d' in k.split('/')[-1]],
-        key=_keras_index)
-    raise NotImplementedError(
-        'Keras h5 conversion requires a name-ordered mapping; supply the '
-        'weights file and finish the index mapping here.')
-  return variables
+  checkpoint_path: a Keras .h5 weights file (converted via
+  load_keras_weights) or an Orbax directory of previously-converted
+  variables. None -> deterministic random extractor (no egress here).
+  """
+  if version != 'V3':
+    raise ValueError(f'{version} is not valid input.')
+  if checkpoint_path:
+    if checkpoint_path.endswith('.h5'):
+      return load_keras_weights(checkpoint_path)
+    import orbax.checkpoint as ocp
+    import os as _os
+    return ocp.StandardCheckpointer().restore(
+        _os.path.abspath(checkpoint_path))
+  return init_variables()
 
 
-def _walk_keras(f):
-  names = []
-  f.visit(names.append)
+def conv_module_order():
+  """ConvBN module names in graph order, matching the creation order of
+  conv2d_<k>/batch_normalization_<k> layers in Keras InceptionV3."""
+  names = ['conv0', 'conv1', 'conv2', 'conv3', 'conv4']
+  for i in range(3):  # mixed 0..2
+    names += [f'mixed{i}_b1x1', f'mixed{i}_b5a', f'mixed{i}_b5b',
+              f'mixed{i}_b3a', f'mixed{i}_b3b', f'mixed{i}_b3c',
+              f'mixed{i}_bp']
+  names += ['mixed3_b3', 'mixed3_bda', 'mixed3_bdb', 'mixed3_bdc']
+  for i in range(4, 8):
+    names += [f'mixed{i}_b1x1', f'mixed{i}_b7a', f'mixed{i}_b7b',
+              f'mixed{i}_b7c', f'mixed{i}_bda', f'mixed{i}_bdb',
+              f'mixed{i}_bdc', f'mixed{i}_bdd', f'mixed{i}_bde',
+              f'mixed{i}_bp']
+  names += ['mixed8_b3a', 'mixed8_b3b', 'mixed8_b7a', 'mixed8_b7b',
+            'mixed8_b7c', 'mixed8_b7d']
+  for i in (9, 10):
+    names += [f'mixed{i}_b1x1', f'mixed{i}_b3a', f'mixed{i}_b3b1',
+              f'mixed{i}_b3b2', f'mixed{i}_bda', f'mixed{i}_bdb',
+              f'mixed{i}_bdc1', f'mixed{i}_bdc2', f'mixed{i}_bp']
   return names
 
 
-def _keras_index(name: str) -> int:
-  base = name.split('/')[-1]
-  parts = base.split('_')
-  return int(parts[-1]) if parts[-1].isdigit() else 0
+def load_keras_weights(h5_path: str):
+  """Converts a Keras InceptionV3 weights .h5 (e.g. the released ImageNet
+  bundle `inception_v3_weights_tf_dim_ordering_tf_kernels.h5`, or any
+  tf_keras `save_weights` file) into this module's variable tree.
+
+  Mapping is by creation order: Keras autonames conv2d[_k] /
+  batch_normalization[_k] in graph order, which matches
+  `conv_module_order()` (validated numerically in tests against a live
+  Keras model).
+  """
+  import h5py
+
+  def keras_index(name: str, stem: str) -> int:
+    rest = name[len(stem):]
+    return int(rest[1:]) if rest.startswith('_') else 0
+
+  weights: dict = {}
+  with h5py.File(h5_path, 'r') as f:
+    root = f['model_weights'] if 'model_weights' in f else f
+
+    def visit(name, obj):
+      if isinstance(obj, h5py.Dataset):
+        weights[name] = np.asarray(obj)
+
+    root.visititems(visit)
+
+  def find(layer: str, leaf: str):
+    for name, arr in weights.items():
+      parts = name.split('/')
+      if layer in parts and parts[-1].split(':')[0] == leaf:
+        return arr
+    raise KeyError(f'{layer}/{leaf} not found in h5')
+
+  conv_layers = sorted(
+      {n.split('/')[0] for n in weights
+       if n.split('/')[0].startswith('conv2d')},
+      key=lambda s: keras_index(s, 'conv2d'))
+  bn_layers = sorted(
+      {n.split('/')[0] for n in weights
+       if n.split('/')[0].startswith('batch_normalization')},
+      key=lambda s: keras_index(s, 'batch_normalization'))
+  order = conv_module_order()
+  if len(conv_layers) != len(order) or len(bn_layers) != len(order):
+    raise ValueError(
+        f'Expected {len(order)} conv/bn layers, found {len(conv_layers)}/'
+        f'{len(bn_layers)}')
+
+  params: dict = {}
+  batch_stats: dict = {}
+  for module, conv_name, bn_name in zip(order, conv_layers, bn_layers):
+    params[module] = {
+        'conv': {'kernel': find(conv_name, 'kernel')},
+        'bn': {'bias': find(bn_name, 'beta')},
+    }
+    batch_stats[module] = {
+        'bn': {'mean': find(bn_name, 'moving_mean'),
+               'var': find(bn_name, 'moving_variance')},
+    }
+  params['predictions'] = {
+      'kernel': find('predictions', 'kernel'),
+      'bias': find('predictions', 'bias'),
+  }
+  return {'params': params, 'batch_stats': batch_stats}

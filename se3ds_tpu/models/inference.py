@@ -271,7 +271,10 @@ class SE3DSModel:
     pc_rgb = jnp.clip((generated_rgb * 255).astype(jnp.int32),
                       constants.INVALID_RGB_VALUE, 255)
     pred_rgb = (jnp.clip(generated_rgb, 0, 1) * 255).astype(jnp.int32)
-    pred_semantic = jnp.argmax(pred_semantic, axis=-1).astype(jnp.int32)
+    # seg_out is all-zero by the release contract (image_models.py:179-182);
+    # argmax of zeros is class 0 — emit it directly instead of
+    # materialising the (N, H, W, 42) zero tensor on device.
+    pred_semantic = jnp.zeros(pred_semantic.shape[:-1], jnp.int32)
     return dict(
         proj_semantic=proj_semantic_img.astype(jnp.int32),
         proj_depth=proj_depth,

@@ -285,6 +285,28 @@ def update_ema(step, ema_params, ema_state, g_params, g_state,
   return new_ema_params, new_ema_state
 
 
+def train_cluster(state: TrainState, batches, *, generator, discriminator,
+                  g_tx, d_tx, hp: GANHParams
+                  ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+  """Fuses several train steps into one program with `lax.scan`.
+
+  TPU-native equivalent of the reference's `tf.range` step cluster
+  (gan_manager.py:376-385, num_batched_steps=100): amortises dispatch and
+  keeps the chip busy across steps. `batches` is a batch dict with a
+  leading steps axis: {k: (K, B, ...)}. Returns metrics averaged over the
+  cluster.
+  """
+
+  def body(carry, batch):
+    new_state, metrics = train_step(
+        carry, batch, generator=generator, discriminator=discriminator,
+        g_tx=g_tx, d_tx=d_tx, hp=hp)
+    return new_state, metrics
+
+  state, metrics = jax.lax.scan(body, state, batches)
+  return state, {k: jnp.mean(v) for k, v in metrics.items()}
+
+
 def train_step(state: TrainState, batch, *, generator, discriminator,
                g_tx, d_tx, hp: GANHParams
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

@@ -25,6 +25,7 @@ import numpy as np
 from se3ds_tpu import config as config_lib
 from se3ds_tpu import constants
 from se3ds_tpu.data import datasets as datasets_lib
+from se3ds_tpu.eval import inception as inception_lib
 from se3ds_tpu.eval import metrics as metrics_lib
 from se3ds_tpu.models import discriminator as disc_lib
 from se3ds_tpu.models import generator as gen_lib
@@ -51,6 +52,9 @@ config_lib.register('image_models.SNMultiScaleDiscriminator',
                     disc_lib.SNMultiScaleDiscriminator)
 config_lib.register('R2RImageDataset', datasets_lib.R2RImageDataset)
 config_lib.register('R2RVideoDataset', datasets_lib.R2RVideoDataset)
+config_lib.register('inception_model', inception_lib.inception_model)
+config_lib.register('inception_utils.inception_model',
+                    inception_lib.inception_model)
 
 
 @config_lib.configurable('GAN', denylist=['model_dir'])
@@ -395,7 +399,8 @@ class Trainer:
         batch_size=self.test_batch_size,
         avg_num=self.eval_avg_num,
         eval_seq_len=max(self.eval_seq_len, 2),
-        predict_depth=self.predict_depth)
+        predict_depth=self.predict_depth,
+        inception_variables=config_lib.apply_config('inception_model'))
 
     state = self._create_state()
     ckpt_mgr = ckpt_lib.CheckpointManager(self.model_dir, self.max_to_keep)

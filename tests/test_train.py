@@ -134,3 +134,23 @@ def test_dp_matches_single_device(setup):
   g1 = np.asarray(jax.tree_util.tree_leaves(s1.g_params)[0])
   g8 = np.asarray(jax.tree_util.tree_leaves(s8.g_params)[0])
   np.testing.assert_allclose(g1, g8, atol=5e-4)
+
+
+def test_train_cluster_scan_matches_loop(setup):
+  """lax.scan-fused cluster == python loop of train steps."""
+  generator, discriminator, g_tx, d_tx, hp, _, st, step_fn = setup
+  import functools
+  batches = _make_batch(jax.random.PRNGKey(9), 8)  # 2 steps of 4
+  stacked = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in batches.items()}
+  cluster_fn = jax.jit(functools.partial(
+      state_lib.train_cluster, generator=generator,
+      discriminator=discriminator, g_tx=g_tx, d_tx=d_tx, hp=hp))
+  s_scan, m_scan = cluster_fn(st, stacked)
+  s_loop = st
+  for i in range(2):
+    chunk = {k: v[i] for k, v in stacked.items()}
+    s_loop, m_loop = step_fn(s_loop, chunk)
+  assert int(s_scan.step) == int(s_loop.step) == 2
+  g_scan = np.asarray(jax.tree_util.tree_leaves(s_scan.g_params)[0])
+  g_loop = np.asarray(jax.tree_util.tree_leaves(s_loop.g_params)[0])
+  np.testing.assert_allclose(g_scan, g_loop, atol=1e-5)
