@@ -81,7 +81,7 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
   return jnp.stack([xs, ys, zs], axis=0).reshape(3, -1)
 
 
-SPLAT_MODES = ('scatter', 'sorted', 'fast')
+SPLAT_MODES = ('scatter', 'sorted', 'fast', 'pallas')
 
 
 def project_feats_to_equirectangular(
@@ -136,11 +136,15 @@ def project_feats_to_equirectangular(
                         axis=1).astype(dtype)
   if splat_mode is None:
     splat_mode = 'sorted' if use_sorted_splat else 'scatter'
-  splat_fn = {
-      'scatter': splat.project_to_feat,
-      'sorted': splat.project_to_feat_sorted,
-      'fast': splat.project_to_feat_fast,
-  }[splat_mode]
+  if splat_mode == 'pallas':
+    from se3ds_tpu.ops import splat_pallas
+    splat_fn = splat_pallas.project_to_feat_pallas
+  else:
+    splat_fn = {
+        'scatter': splat.project_to_feat,
+        'sorted': splat.project_to_feat_sorted,
+        'fast': splat.project_to_feat_fast,
+    }[splat_mode]
   return splat_fn(proj_xyz1, feats.astype(dtype), height, width,
                   depth_scale=depth_scale, input_void_class=void_class)
 

@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the z-buffer point splat.
+
+Strategy: XLA's data-dependent scatters serialise on TPU (~7-9 ms per
+scatter at 1M points). Instead, points are sorted by destination pixel
+(fast on TPU: one multi-payload `lax.sort`), tile boundaries are found
+with `searchsorted`, and a Pallas kernel processes one image tile per
+grid step: it DMAs that tile's contiguous point range from HBM and
+resolves the z-buffer with *dense masked reductions* on the VPU — an
+(CHUNK, TILE) equality mask selects each point's pixel lane, and
+min/max reductions over the chunk axis replace the scatter entirely.
+Each grid step owns its output tile, so the kernel is race-free and
+fully parallel.
+
+Semantics match `splat.project_to_feat_fast`: exact f32 min-depth buffer
+plus a packed (inverted depth bucket | feature bytes) uint32 winner per
+pixel.
+
+STATUS: numerically validated in Pallas interpreter mode (bit-identical
+to project_to_feat_fast; see tests/test_geometry.py). The axon remote
+Mosaic toolchain in this build environment crashes (HTTP 500, no
+diagnostics) on `pltpu.make_async_copy` and on sublane-flatten reshapes,
+so the kernel cannot yet be compiled here and selecting
+splat_mode='pallas' raises a MosaicError at compile time on this relay
+(use 'fast' instead; the kernel is kept for standard toolchains). On a standard
+libtpu/Mosaic install this kernel replaces the two data-dependent
+scatters (~15 ms at 1M points) with one multi-payload sort (~2 ms) plus
+a fully-parallel tiled masked reduction (~3 ms estimated from VPU
+element throughput).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile of output pixels resolved per grid step; chunk of points processed
+# per inner iteration. (8, 128) f32 native tiling => keep multiples.
+TILE = 1024
+CHUNK = 512
+
+
+def _splat_kernel(offsets_ref,  # (T+1,) scalar prefetch
+                  sflat_hbm, sdepth_hbm, spacked_hbm,  # (Mpad, 1) in HBM
+                  zbuf_ref, pbuf_ref,  # (1, TILE) outputs in VMEM
+                  flat_s, depth_s, packed_s, sem,  # (CHUNK, 1) scratch
+                  *, depth_scale: float):
+  # Note: packed values are carried as *sign-flipped int32* (u32 ^ 2^31)
+  # because Mosaic has no unsigned reductions; i32 max on the flipped
+  # values == u32 max on the originals.
+  t = pl.program_id(0)
+  start = offsets_ref[t]
+  end = offsets_ref[t + 1]
+  base = t * TILE
+
+  lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+  num_chunks = pl.cdiv(end - start, CHUNK)
+
+  def body(i, carry):
+    zacc, pacc = carry
+    off = start + i * CHUNK
+    cp_flat = pltpu.make_async_copy(
+        sflat_hbm.at[pl.ds(off, CHUNK), :], flat_s, sem.at[0])
+    cp_depth = pltpu.make_async_copy(
+        sdepth_hbm.at[pl.ds(off, CHUNK), :], depth_s, sem.at[1])
+    cp_packed = pltpu.make_async_copy(
+        spacked_hbm.at[pl.ds(off, CHUNK), :], packed_s, sem.at[2])
+    cp_flat.start()
+    cp_depth.start()
+    cp_packed.start()
+    cp_flat.wait()
+    cp_depth.wait()
+    cp_packed.wait()
+
+    in_range = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                < (end - off))
+    local = flat_s[:, :] - base  # (CHUNK, 1)
+    eq = (local == lane) & in_range  # (CHUNK, TILE)
+    zc = jnp.min(jnp.where(eq, depth_s[:, :],
+                           jnp.asarray(depth_scale, jnp.float32)),
+                 axis=0, keepdims=True)
+    pc = jnp.max(jnp.where(eq, packed_s[:, :],
+                           jnp.asarray(-(2**31), jnp.int32)),
+                 axis=0, keepdims=True)
+    return jnp.minimum(zacc, zc), jnp.maximum(pacc, pc)
+
+  zacc = jnp.full((1, TILE), depth_scale, jnp.float32)
+  pacc = jnp.full((1, TILE), -(2**31), jnp.int32)
+  zacc, pacc = jax.lax.fori_loop(0, num_chunks, body, (zacc, pacc))
+  # Output tile is stored as (8, 128) rows (native f32 tiling); the flat
+  # (1, TILE) accumulator maps row-major onto it.
+  for r in range(TILE // 128):
+    zbuf_ref[r, :] = zacc[0, r * 128:(r + 1) * 128]
+    pbuf_ref[r, :] = pacc[0, r * 128:(r + 1) * 128]
+
+
+def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
+                         depth_scale: float, interpret: bool = False):
+  """Runs the tiled kernel over pre-sorted, padded point arrays."""
+  num_tiles = num_pixels // TILE
+  assert num_pixels % TILE == 0, (num_pixels, TILE)
+  tile_starts = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
+  offsets = jnp.searchsorted(sflat, tile_starts, side='left').astype(
+      jnp.int32)
+  # Clamp to the unpadded region (padding sentinel sorts to the end).
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(num_tiles,),
+      in_specs=[
+          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec(memory_space=pltpu.ANY),
+      ],
+      out_specs=[
+          pl.BlockSpec((TILE // 128, 128), lambda t, *_: (t, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((TILE // 128, 128), lambda t, *_: (t, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((CHUNK, 1), jnp.int32),
+          pltpu.VMEM((CHUNK, 1), jnp.float32),
+          pltpu.VMEM((CHUNK, 1), jnp.int32),
+          pltpu.SemaphoreType.DMA((3,)),
+      ],
+  )
+  zbuf, pbuf = pl.pallas_call(
+      functools.partial(_splat_kernel, depth_scale=depth_scale),
+      out_shape=[
+          jax.ShapeDtypeStruct((num_tiles * (TILE // 128), 128),
+                               jnp.float32),
+          jax.ShapeDtypeStruct((num_tiles * (TILE // 128), 128), jnp.int32),
+      ],
+      grid_spec=grid_spec,
+      interpret=interpret,
+  )(offsets, sflat[:, None], sdepth[:, None], spacked[:, None])
+  return zbuf.reshape(num_pixels), pbuf.reshape(num_pixels)
+
+
+def project_to_feat_pallas(
+    transformed_coords: jnp.ndarray,
+    feats: jnp.ndarray,
+    height: int,
+    width: int,
+    depth_scale: float,
+    input_void_class: float,
+    output_void_class: float = 0.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Tiled-Pallas splat with `project_to_feat_fast` semantics.
+
+  Requires height*width to be a multiple of TILE (all production pano
+  sizes are) and <=3 feature channels with integer values in [0, 255].
+  """
+  from se3ds_tpu.ops import splat as splat_lib
+
+  if feats.ndim not in (2, 3):
+    raise ValueError(
+        f'feats should have shape (N, M) or (N, M, C), got {feats.shape}')
+  is_scalar_feat = feats.ndim == 2
+  if is_scalar_feat:
+    feats = feats[..., None]
+  channels = feats.shape[-1]
+  num_pixels = height * width
+  if channels > 3 or num_pixels % TILE != 0:
+    out = splat_lib.project_to_feat_fast(
+        transformed_coords, feats, height, width, depth_scale,
+        input_void_class, output_void_class)
+    return out[0], (out[1][..., 0] if is_scalar_feat else out[1])
+  dtype = transformed_coords.dtype
+  feats = feats.astype(dtype)
+  batch_size, _, num_points = transformed_coords.shape
+
+  view, depth = splat_lib._normalize_view_coords(transformed_coords)
+  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
+  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
+  valid = (
+      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
+      & jnp.all(feats != input_void_class, axis=-1))
+  flat = jnp.where(valid, py * width + px, num_pixels).astype(jnp.int32)
+
+  qdepth = jnp.clip(depth / depth_scale * 255.0, 0.0, 255.0).astype(
+      jnp.uint32)
+  packed = (255 - qdepth) << 24
+  fbytes = jnp.clip(feats, 0.0, 255.0).astype(jnp.uint32)
+  for c in range(channels):
+    packed = packed | (fbytes[..., c] << (8 * (channels - 1 - c)))
+  packed = jnp.where(valid, packed, 0)
+  depth_clipped = jnp.where(valid, jnp.minimum(depth, depth_scale),
+                            depth_scale).astype(jnp.float32)
+
+  pad = (-num_points) % CHUNK + CHUNK
+  def one_batch(flat_b, depth_b, packed_b):
+    flat_p = jnp.concatenate(
+        [flat_b, jnp.full((pad,), num_pixels, jnp.int32)])
+    depth_p = jnp.concatenate(
+        [depth_b, jnp.full((pad,), depth_scale, jnp.float32)])
+    packed_p = jnp.concatenate([packed_b, jnp.zeros((pad,), jnp.uint32)])
+    # Sign-flip for Mosaic (no unsigned reductions); undo after the kernel.
+    packed_i = jax.lax.bitcast_convert_type(
+        packed_p ^ jnp.uint32(1 << 31), jnp.int32)
+    sflat, sdepth, spacked = jax.lax.sort(
+        [flat_p, depth_p, packed_i], num_keys=1)
+    return _splat_sorted_points(sflat, sdepth, spacked, num_pixels,
+                                depth_scale, interpret=interpret)
+
+  zbuf, pbuf = jax.vmap(one_batch)(flat, depth_clipped, packed)
+  pbuf = jax.lax.bitcast_convert_type(pbuf, jnp.uint32) ^ jnp.uint32(1 << 31)
+  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
+                     ).reshape(batch_size, height, width)
+  got_point = pbuf != 0
+  cols = []
+  for c in range(channels):
+    col = (pbuf >> (8 * (channels - 1 - c))) & 0xFF
+    cols.append(jnp.where(got_point, col.astype(dtype),
+                          jnp.asarray(output_void_class, dtype)))
+  projected_feat = jnp.stack(cols, axis=-1).reshape(
+      batch_size, height, width, channels)
+  if is_scalar_feat:
+    projected_feat = projected_feat[..., 0]
+  return projected_depth, projected_feat

@@ -199,3 +199,21 @@ def test_fast_splat_depth_always_exact():
       jnp.asarray(GOLDEN['ptf_coords']), jnp.asarray(GOLDEN['ptf_feats']),
       height=6, width=12, depth_scale=10.0, input_void_class=-1.0)
   np.testing.assert_allclose(np.asarray(pd1), np.asarray(pd2), atol=1e-6)
+
+
+def test_pallas_splat_interpret_matches_fast():
+  """The Pallas tiled-splat kernel (interpreter mode) is bit-identical to
+  the packed-scatter fast path."""
+  from se3ds_tpu.ops import splat_pallas
+  rng = np.random.RandomState(11)
+  coords = rng.uniform(-6, 6, (2, 4, 4000)).astype(np.float32)
+  coords[:, 3] = 1.0
+  feats = rng.randint(-1, 256, (2, 4000, 3)).astype(np.float32)
+  pd1, pf1 = splat.project_to_feat_fast(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0)
+  pd2, pf2 = splat_pallas.project_to_feat_pallas(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
