@@ -14,6 +14,7 @@ fully-convolutional GAN (there is no sequence axis to shard).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -51,6 +52,48 @@ def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None
 
 def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
+
+
+def shard_leaf_dim0(mesh: Mesh, leaf) -> NamedSharding:
+  """Shards a leaf's first dimension over 'data' when divisible, else
+  replicates."""
+  num_data = mesh.shape['data']
+  shape = np.shape(leaf)
+  if len(shape) >= 1 and shape[0] >= num_data and shape[0] % num_data == 0:
+    return NamedSharding(mesh, P('data'))
+  return NamedSharding(mesh, P())
+
+
+def train_state_shardings(state, mesh: Mesh, shard_opt_state: bool = True):
+  """Sharding tree for a TrainState: params/EMA replicated, optimizer
+  moments sharded over the data axis (ZeRO-1).
+
+  Under GSPMD this single annotation yields the ZeRO-1 schedule
+  automatically: gradients are reduce-scattered into the sharded Adam
+  moments and the parameter update is all-gathered, both riding ICI.
+  It cuts per-chip optimizer memory by the data-parallel degree — the
+  production SE3DS generator (1.1B params) needs this to train at all
+  (full Adam state alone is ~9 GB).
+  """
+  rep = replicated(mesh)
+
+  def shard_tree(tree, fn):
+    return jax.tree_util.tree_map(fn, tree)
+
+  rep_fn = lambda leaf: rep
+  opt_fn = (functools.partial(shard_leaf_dim0, mesh)
+            if shard_opt_state else rep_fn)
+  return type(state)(
+      step=rep,
+      g_params=shard_tree(state.g_params, rep_fn),
+      g_state=shard_tree(state.g_state, rep_fn),
+      d_params=shard_tree(state.d_params, rep_fn),
+      d_state=shard_tree(state.d_state, rep_fn),
+      ema_params=shard_tree(state.ema_params, rep_fn),
+      ema_state=shard_tree(state.ema_state, rep_fn),
+      g_opt_state=shard_tree(state.g_opt_state, opt_fn),
+      d_opt_state=shard_tree(state.d_opt_state, opt_fn),
+  )
 
 
 def shard_batch(batch, mesh: Mesh, spatial_axis: Optional[int] = None):

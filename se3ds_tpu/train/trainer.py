@@ -103,6 +103,7 @@ class Trainer:
       mesh: Optional[Any] = None,
       max_to_keep: int = 200,
       eval_avg_num: int = 1,
+      shard_opt_state: bool = True,
   ):
     self.model_dir = model_dir
     self.image_size = image_size
@@ -132,6 +133,7 @@ class Trainer:
     self.predict_depth = predict_depth
     self.max_to_keep = max_to_keep
     self.eval_avg_num = eval_avg_num
+    self.shard_opt_state = shard_opt_state
 
     self.hp = state_lib.GANHParams(
         lambda_gan=lambda_gan, lambda_kld=lambda_kld, lambda_wc=lambda_wc,
@@ -243,10 +245,13 @@ class Trainer:
              self.train_steps_per_epoch)
 
     state = self._create_state()
+    state_shardings = mesh_lib.train_state_shardings(
+        state, self.mesh, shard_opt_state=self.shard_opt_state)
+    state = jax.device_put(state, state_shardings)
     ckpt_mgr = ckpt_lib.CheckpointManager(self.model_dir, self.max_to_keep)
-    restored = ckpt_mgr.restore(state)
+    restored = ckpt_mgr.restore(jax.device_get(state))
     if restored is not None:
-      state = jax.device_put(restored, mesh_lib.replicated(self.mesh))
+      state = jax.device_put(restored, state_shardings)
       log.info('Restored from step %s', int(state.step))
     else:
       log.info('Initializing from scratch.')
@@ -267,7 +272,7 @@ class Trainer:
             state_lib.train_step, generator=self.generator,
             discriminator=self.discriminator, g_tx=self.g_tx,
             d_tx=self.d_tx, hp=self.hp),
-        out_shardings=(rep, rep), donate_argnums=(0,))
+        out_shardings=(state_shardings, rep), donate_argnums=(0,))
 
     log.info('Start Training...')
     metric_acc: Dict[str, list] = {}
