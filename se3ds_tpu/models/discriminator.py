@@ -29,10 +29,10 @@ class SNPatchDiscriminator(nn.Module):
                train: bool = False) -> List[jnp.ndarray]:
     results = []
     k = self.kernel_size
-    out = layers.pad2d(x, k // 2, self.circular_pad, train=train)
     out = layers.Conv2D(self.dis_dims, kernel_size=k, strides=2,
-                        padding='VALID', dtype=self.dtype,
-                        name='group0_conv')(out)
+                        padding='VALID', fused_pad=k // 2,
+                        circular=self.circular_pad, dtype=self.dtype,
+                        name='group0_conv')(x, train=train)
     out = nn.leaky_relu(out, negative_slope=0.2)
     results.append(out)
 
@@ -40,9 +40,9 @@ class SNPatchDiscriminator(nn.Module):
     for i in range(1, self.n_layers):
       current_dim = min(previous_dim * 2, 512)
       strides = 2 if (i != self.n_layers - 1) else 1
-      out = layers.pad2d(out, k // 2, self.circular_pad, train=train)
       out = layers.SpectralConv(current_dim, kernel_size=k, strides=strides,
-                                padding='VALID', dtype=self.dtype,
+                                padding='VALID', fused_pad=k // 2,
+                                circular=self.circular_pad, dtype=self.dtype,
                                 name=f'group{i}_conv')(out, train=train)
       out = layers.InstanceNorm(dtype=self.dtype,
                                 name=f'group{i}_norm')(out)

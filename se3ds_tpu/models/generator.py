@@ -55,14 +55,10 @@ class ResNetEncoder(nn.Module):
     filters = RESNET_ENCODER_FILTERS[self.resnet_version]
     h = self.hidden_dims
 
-    update_mask = mask
-    if update_mask is not None:
-      update_mask = layers.pad2d(update_mask, 3, self.circular_pad,
-                                 train=train)
-    out = layers.pad2d(x, 3, self.circular_pad, train=train)
     out, update_mask = layers.PartialConv(
-        h, kernel_size=7, strides=2, padding='VALID', dtype=self.dtype,
-        name='conv1')(out, update_mask, train=train)
+        h, kernel_size=7, strides=2, padding='VALID', fused_pad=3,
+        circular=self.circular_pad, dtype=self.dtype,
+        name='conv1')(x, mask, train=train)
     out = layers.SyncBatchNorm(dtype=self.dtype, name='act1_bn')(out,
                                                                  train=train)
     out = nn.relu(out)
@@ -82,10 +78,9 @@ class ResNetEncoder(nn.Module):
     s3 = out
     out, update_mask = stack(h * 4, h * 8, filters[3], strides=2,
                              name='stack4')(out, update_mask, train=train)
-    out = layers.pad2d(out, 1, self.circular_pad, train=train)
-    update_mask = layers.pad2d(update_mask, 1, self.circular_pad, train=train)
     out, update_mask = layers.PartialConv(
-        h * 4, kernel_size=3, strides=1, padding='VALID', dtype=self.dtype,
+        h * 4, kernel_size=3, strides=1, padding='VALID', fused_pad=1,
+        circular=self.circular_pad, dtype=self.dtype,
         name='final_conv')(out, update_mask, train=train)
     out = layers.SyncBatchNorm(dtype=self.dtype, name='final_bn')(out,
                                                                   train=train)
@@ -216,8 +211,8 @@ class OutputHead(nn.Module):
         (self.out_channels, False)]):
       out = layers.SyncBatchNorm(dtype=self.dtype, name=f'bn{i}')(out,
                                                                   train=train)
-      out = layers.pad2d(out, 1, self.circular_pad, train=train)
       out = conv(features, kernel_size=3, strides=1, padding='VALID',
+                 fused_pad=1, circular=self.circular_pad,
                  dtype=self.dtype, name=f'conv{i}')(out, train=train)
       if act:
         # Keras LeakyReLU() default slope (reference image_models.py:83).
@@ -239,9 +234,9 @@ class GlobalContext(nn.Module):
     for i, (features, act) in enumerate(specs):
       out = layers.SyncBatchNorm(dtype=self.dtype, name=f'bn{i}')(out,
                                                                   train=train)
-      out = layers.pad2d(out, 1, self.circular_pad, train=train)
       out = layers.SpectralConv(features, kernel_size=3, strides=1,
-                                padding='VALID', dtype=self.dtype,
+                                padding='VALID', fused_pad=1,
+                                circular=self.circular_pad, dtype=self.dtype,
                                 name=f'conv{i}')(out, train=train)
       if act:
         # Keras LeakyReLU() default slope (reference image_models.py:112).

@@ -95,6 +95,66 @@ def _conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides, padding,
       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+def circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides,
+                    pad: int, circular: bool, train: bool,
+                    border_fixup: bool = False) -> jnp.ndarray:
+  """Fused equivalent of `pad2d(x, pad, circular, train)` + VALID conv.
+
+  The reference pads every 3x3/7x7 conv input explicitly (PadLayer),
+  which on TPU materialises a full copy of the activation before each
+  conv (~26 ms per generator forward at 1024x512 eval). Training padding
+  is pure zeros (circular is disabled, layers.py:67-71 reference), so it
+  fuses into the convolution for free — that path is always taken.
+
+  At eval the width padding wraps. Two equivalent implementations:
+  explicit pad + VALID conv (default), or conv-native zero pad with the
+  border output columns recomputed from a narrow wrapped strip
+  (`border_fixup=True`). Both are bit-equal (tested); on the current
+  v5e/relay toolchain the many small strip convs compile poorly and run
+  *slower* end-to-end than the pad copies, so the fixup is opt-in.
+  """
+  sh, sw = _to_pair(strides)
+  kh, kw = kernel.shape[0], kernel.shape[1]
+  p = pad
+  if circular and not train and p > 0 and not border_fixup:
+    padded = pad2d(x, p, circular_pad=True, train=False)
+    return jax.lax.conv_general_dilated(
+        padded, kernel, window_strides=(sh, sw), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  out = jax.lax.conv_general_dilated(
+      x, kernel, window_strides=(sh, sw), padding=((p, p), (p, p)),
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  if not (circular and not train) or p == 0:
+    return out
+
+  width = x.shape[2]
+  w_out = (width + 2 * p - kw) // sw + 1
+  # Output columns whose input window crosses the left/right edge.
+  jl = -(-p // sw)  # ceil(p / sw)
+  j_right_start = -(-(width + p - kw + 1) // sw)
+  jr = w_out - j_right_start
+
+  def strip_conv(strip):
+    return jax.lax.conv_general_dilated(
+        strip, kernel, window_strides=(sh, sw),
+        padding=((p, p), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+  if jl > 0:
+    left_strip = jnp.concatenate(
+        [x[:, :, width - p:], x[:, :, :(jl - 1) * sw - p + kw]], axis=2)
+    left_fix = strip_conv(left_strip)
+    out = jax.lax.dynamic_update_slice(out, left_fix, (0, 0, 0, 0))
+  if jr > 0:
+    wrap = (w_out - 1) * sw - p + kw - width
+    right_strip = jnp.concatenate(
+        [x[:, :, j_right_start * sw - p:], x[:, :, :wrap]], axis=2)
+    right_fix = strip_conv(right_strip)
+    out = jax.lax.dynamic_update_slice(
+        out, right_fix, (0, 0, j_right_start, 0))
+  return out
+
+
 def spectral_normalize(w_flat: jnp.ndarray, u: jnp.ndarray,
                        eps: float = 1e-10):
   """One power-iteration step (reference layers.py:311-332).
@@ -120,13 +180,20 @@ def spectral_normalize(w_flat: jnp.ndarray, u: jnp.ndarray,
 
 
 class SpectralConv(nn.Module):
-  """Conv2D with spectral normalisation (reference SpectralConv)."""
+  """Conv2D with spectral normalisation (reference SpectralConv).
+
+  fused_pad > 0 replaces an explicit `pad2d(x, fused_pad, circular)` +
+  VALID conv with the fused `circular_conv2d` (same math, no activation
+  copy).
+  """
   features: int
   kernel_size: Union[int, Tuple[int, int]]
   strides: Union[int, Tuple[int, int]] = 1
   padding: str = 'SAME'
   use_bias: bool = True
   activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  fused_pad: int = 0
+  circular: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -144,8 +211,13 @@ class SpectralConv(nn.Module):
     if train and not self.is_initializing():
       u.value = u_hat
     w_norm = w_norm.reshape(kernel.shape)
-    out = _conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
-                  self.strides, self.padding.upper())
+    if self.fused_pad:
+      out = circular_conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
+                            self.strides, self.fused_pad, self.circular,
+                            train)
+    else:
+      out = _conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
+                    self.strides, self.padding.upper())
     if self.use_bias:
       bias = self.param('bias', nn.initializers.zeros, (self.features,))
       out = out + bias.astype(self.dtype)
@@ -168,6 +240,8 @@ class PartialConv(nn.Module):
   use_bias: bool = True
   spectral_norm: bool = False
   activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  fused_pad: int = 0
+  circular: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -185,8 +259,12 @@ class PartialConv(nn.Module):
     eps = 1e-6
     slide_window_size = kh * kw * 1
     mask_kernel = jnp.ones((kh, kw, 1, 1), feature.dtype)
-    update_mask = _conv2d(mask, mask_kernel, self.strides,
-                          self.padding.upper())
+    if self.fused_pad:
+      update_mask = circular_conv2d(mask, mask_kernel, self.strides,
+                                    self.fused_pad, self.circular, train)
+    else:
+      update_mask = _conv2d(mask, mask_kernel, self.strides,
+                            self.padding.upper())
     mask_ratio = slide_window_size / (update_mask + eps)
     update_mask = jnp.clip(update_mask, 0.0, 1.0)
     mask_ratio = mask_ratio * update_mask
@@ -206,8 +284,13 @@ class PartialConv(nn.Module):
       # Reference bug preserved: the normalised kernel is NOT used below.
 
     out = feature * mask
-    out = _conv2d(out.astype(self.dtype), kernel.astype(self.dtype),
-                  self.strides, self.padding.upper())
+    if self.fused_pad:
+      out = circular_conv2d(out.astype(self.dtype),
+                            kernel.astype(self.dtype), self.strides,
+                            self.fused_pad, self.circular, train)
+    else:
+      out = _conv2d(out.astype(self.dtype), kernel.astype(self.dtype),
+                    self.strides, self.padding.upper())
     if self.use_bias:
       bias = self.param('bias', nn.initializers.zeros, (self.features,))
       bias = bias.reshape(1, 1, 1, -1).astype(self.dtype)
@@ -234,16 +317,22 @@ class Conv2D(nn.Module):
   padding: str = 'SAME'
   use_bias: bool = True
   activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+  fused_pad: int = 0
+  circular: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-    del train
     kh, kw = _to_pair(self.kernel_size)
     kernel = self.param('kernel', conv_kernel_init,
                         (kh, kw, x.shape[-1], self.features))
-    out = _conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
-                  self.strides, self.padding.upper())
+    if self.fused_pad:
+      out = circular_conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                            self.strides, self.fused_pad, self.circular,
+                            train)
+    else:
+      out = _conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                    self.strides, self.padding.upper())
     if self.use_bias:
       bias = self.param('bias', nn.initializers.zeros, (self.features,))
       out = out + bias.astype(self.dtype)
@@ -365,10 +454,9 @@ class Bottleneck(nn.Module):
                                                              train=train)
     out = SyncBatchNorm(dtype=self.dtype, name='act1_bn')(out, train=train)
     out = nn.relu(out)
-    out = pad2d(out, 1, self.circular_pad, train=train)
-    update_mask = pad2d(update_mask, 1, self.circular_pad, train=train)
     out, update_mask = partial(self.filters, kernel_size=3,
                                strides=self.strides, padding='VALID',
+                               fused_pad=1, circular=self.circular_pad,
                                name='conv2')(out, update_mask, train=train)
     out = SyncBatchNorm(dtype=self.dtype, name='act2_bn')(out, train=train)
     out = nn.relu(out)
@@ -434,9 +522,9 @@ class TransBasicBlock(nn.Module):
   @nn.compact
   def __call__(self, x, train: bool = False):
     residual = x
-    out = pad2d(x, 1, self.circular_pad, train=train)
     out = self._conv(self.inplanes, kernel_size=3, strides=1, padding='VALID',
-                     use_bias=False, name='main_conv1')(out, train=train)
+                     use_bias=False, fused_pad=1, circular=self.circular_pad,
+                     name='main_conv1')(x, train=train)
     out = SyncBatchNorm(dtype=self.dtype, name='main_bn1')(out, train=train)
     out = nn.relu(out)
     if self.has_upsample and self.strides != 1:
@@ -444,9 +532,9 @@ class TransBasicBlock(nn.Module):
                             padding='SAME', use_bias=False, dtype=self.dtype,
                             name='main_convt')(out)
     else:
-      out = pad2d(out, 1, self.circular_pad, train=train)
       out = self._conv(self.planes, kernel_size=3, strides=self.strides,
-                       padding='VALID', use_bias=False,
+                       padding='VALID', use_bias=False, fused_pad=1,
+                       circular=self.circular_pad,
                        name='main_conv2')(out, train=train)
     out = SyncBatchNorm(dtype=self.dtype, name='main_bn2')(out, train=train)
 

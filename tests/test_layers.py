@@ -142,3 +142,20 @@ def test_instance_norm_statistics():
   s = np.asarray(jnp.std(out, axis=(1, 2)))
   np.testing.assert_allclose(m, 0.0, atol=1e-4)
   np.testing.assert_allclose(s, 1.0, atol=1e-2)
+
+
+@pytest.mark.parametrize('k,s', [(3, 1), (7, 2), (4, 2), (1, 1)])
+@pytest.mark.parametrize('train', [True, False])
+def test_circular_conv2d_matches_pad_then_valid(k, s, train):
+  """Fused pad+conv (both the default and border-fixup eval variants) is
+  bit-equal to explicit pad2d + VALID conv."""
+  rng = np.random.RandomState(0)
+  p = k // 2
+  x = jnp.asarray(rng.rand(2, 16, 64, 5).astype(np.float32))
+  kern = jnp.asarray(rng.rand(k, k, 5, 4).astype(np.float32))
+  ref = layers._conv2d(
+      layers.pad2d(x, p, circular_pad=True, train=train), kern, s, 'VALID')
+  for fixup in (False, True):
+    got = layers.circular_conv2d(x, kern, s, p, circular=True, train=train,
+                                 border_fixup=fixup)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
