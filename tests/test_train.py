@@ -188,3 +188,64 @@ def test_optimizer_state_sharding_zero1(setup):
   g1 = np.asarray(jax.tree_util.tree_leaves(s_sharded.g_params)[0])
   g2 = np.asarray(jax.tree_util.tree_leaves(s_rep.g_params)[0])
   np.testing.assert_allclose(g1, g2, atol=5e-4)
+
+
+def test_spatial_sharded_inference():
+  """High-res inference sharded over the spatial axis: generator +
+  guidance splat jitted over a (1 data x 8 spatial) mesh, pano height
+  partitioned across devices (XLA inserts conv halo exchanges)."""
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 virtual devices')
+  import functools
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  from se3ds_tpu.models import inference as inf_lib
+
+  mesh = mesh_lib.create_mesh(num_data=1, num_spatial=8)
+  generator = gen_lib.ResNetGenerator(image_size=SIZE, gen_dims=2, z_dim=2,
+                                      resnet_version='tiny')
+  h, w = SIZE, SIZE * 2
+  cond = {
+      'proj_image': jnp.zeros((1, h, w, 3)),
+      'proj_depth': jnp.zeros((1, h, w, 1)),
+      'proj_mask': jnp.ones((1, h, w, 1)),
+      'blurred_mask': jnp.zeros((1, h, w, 1)),
+  }
+  variables = generator.init(jax.random.PRNGKey(0), cond, train=False)
+
+  memory = inf_lib.init_memory(1, 2 * h * w)
+  rng = np.random.RandomState(0)
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.1, 0.8, (1, h, w)).astype(np.float32)
+  memory = inf_lib.memory_add_pano(memory, jnp.asarray(rgb),
+                                   jnp.asarray(sem), jnp.asarray(depth),
+                                   jnp.zeros((1, 3)), depth_scale=20.0)
+
+  def forward(variables, memory, position):
+    _, proj_depth, proj_rgb, proj_mask = inf_lib.memory_project(
+        memory, position, h, w, 20.0, splat_mode='scatter')
+    cond = {
+        'proj_image': jnp.clip(proj_rgb / 255.0, 0, 1),
+        'proj_depth': proj_depth[..., None],
+        'proj_mask': proj_mask,
+        'blurred_mask': jnp.zeros_like(proj_mask),
+    }
+    outs = generator.apply(variables, cond, train=False)
+    return outs[6], outs[3]
+
+  pos = jnp.asarray([[0.4, 0.1, 0.0]], jnp.float32)
+  # Single-device reference.
+  rgb_ref, depth_ref = jax.jit(forward)(variables, memory, pos)
+
+  # Spatially sharded: image height (axis 1 of NHWC) over 'spatial'.
+  rep = mesh_lib.replicated(mesh)
+  img_sharding = NamedSharding(mesh, P(None, 'spatial'))
+  out = jax.jit(forward, out_shardings=(img_sharding, img_sharding))(
+      jax.device_put(variables, rep), jax.device_put(memory, rep),
+      jax.device_put(pos, rep))
+  rgb_sp, depth_sp = out
+  assert not rgb_sp.sharding.is_fully_replicated
+  np.testing.assert_allclose(np.asarray(rgb_sp), np.asarray(rgb_ref),
+                             atol=2e-3)
+  np.testing.assert_allclose(np.asarray(depth_sp), np.asarray(depth_ref),
+                             atol=2e-3)
