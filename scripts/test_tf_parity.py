@@ -79,3 +79,42 @@ def main():
 
 if __name__ == '__main__':
   main()
+
+
+def discriminator_parity():
+  import jax
+  import jax.numpy as jnp
+  import tensorflow as tf
+  from _ref_tf import import_reference_models
+  from se3ds_tpu.models import discriminator as disc_lib
+  from se3ds_tpu.train import tf_import
+
+  image_models = import_reference_models()
+  n_dis, dis_dims, n_layers = 2, 4, 3
+  rng = np.random.RandomState(1)
+  x = rng.rand(2, 64, 128, 4).astype(np.float32)
+
+  tf_d = image_models.SNMultiScaleDiscriminator(
+      image_size=64, n_dis=n_dis, dis_dims=dis_dims, n_layers=n_layers)
+  tf_out = tf_d(tf.constant(x))
+  ckpt = tf.train.Checkpoint(discriminator=tf_d)
+  ckpt_path = ckpt.save(os.path.join(tempfile.mkdtemp(), 'ck'))
+
+  flax_d = disc_lib.SNMultiScaleDiscriminator(
+      n_dis=n_dis, dis_dims=dis_dims, n_layers=n_layers)
+  template = flax_d.init(jax.random.PRNGKey(0), jnp.asarray(x))
+  variables = tf_import.convert_tf_checkpoint(
+      ckpt_path, template, root='discriminator',
+      path_map=tf_import.discriminator_path_map(n_layers))
+  flax_out = flax_d.apply(variables, jnp.asarray(x))
+  max_err = 0.0
+  for sub_tf, sub_fx in zip(tf_out, flax_out):
+    for a, b in zip(sub_tf, sub_fx):
+      max_err = max(max_err, float(np.abs(a.numpy() - np.asarray(b)).max()))
+  print(f'discriminator max |diff| = {max_err:.2e}')
+  assert max_err < 5e-3, max_err
+  print('DISCRIMINATOR PARITY OK')
+
+
+if __name__ == '__main__' and os.environ.get('SE3DS_PARITY_DIS', '1') == '1':
+  discriminator_parity()

@@ -99,8 +99,41 @@ def _is_transpose_conv(path: str) -> bool:
   return 'convt' in path or path.endswith('final_deconv/convt')
 
 
+_DIS_RE = re.compile(r'^dis(\d+)/(.*)$')
+
+
+def discriminator_path_map(n_layers: int):
+  """Path mapper for SNMultiScaleDiscriminator checkpoints.
+
+  Reference layout (verified empirically): `discriminators/<d>/
+  discriminator_groups/<g>/layer_with_weights-{0,1}` for the conv/
+  InstanceNorm of each group, and `discriminator_groups/<n_layers>` for
+  the bare final conv layer.
+  """
+
+  def map_path(path: str) -> str:
+    m = _DIS_RE.match(path)
+    if not m:
+      return path
+    d, rest = m.group(1), m.group(2)
+    prefix = f'discriminators/{d}/discriminator_groups'
+    cm = re.match(r'^group(\d+)_conv(/.*)?$', rest)
+    if cm:
+      return f'{prefix}/{cm.group(1)}/layer_with_weights-0{cm.group(2) or ""}'
+    nm = re.match(r'^group(\d+)_norm(/.*)?$', rest)
+    if nm:
+      return f'{prefix}/{nm.group(1)}/layer_with_weights-1{nm.group(2) or ""}'
+    fm = re.match(r'^final_conv(/.*)?$', rest)
+    if fm:
+      return f'{prefix}/{n_layers}{fm.group(1) or ""}'
+    return f'discriminators/{d}/{rest}'
+
+  return map_path
+
+
 def convert_tf_checkpoint(ckpt_path: str, flax_variables: Any,
-                          root: str = 'ema_generator') -> Any:
+                          root: str = 'ema_generator',
+                          path_map=None) -> Any:
   """Loads a reference TF checkpoint into a flax variable-tree template.
 
   Args:
@@ -133,7 +166,10 @@ def convert_tf_checkpoint(ckpt_path: str, flax_variables: Any,
   errors = []
 
   def resolve(col: str, module_path: str, leaf: str) -> Optional[str]:
-    tf_module = flax_path_to_tf_prefix(module_path)
+    if path_map is not None:
+      tf_module = path_map(module_path)
+    else:
+      tf_module = flax_path_to_tf_prefix(module_path)
     prefix = f'{root}/{tf_module}'
     if col == 'spectral' and leaf == 'u':
       for cand in by_prefix.get(prefix, []):
@@ -142,6 +178,8 @@ def convert_tf_checkpoint(ckpt_path: str, flax_variables: Any,
       return None
     if col == 'batch_stats':
       candidates = (_BN_LEAF[leaf],)  # mean/var -> moving_*
+    elif leaf in ('gamma', 'beta'):
+      candidates = (leaf,)  # InstanceNorm params keep TF names
     elif leaf == 'scale':
       candidates = ('gamma',)
     elif leaf == 'bias':
