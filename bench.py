@@ -36,8 +36,22 @@ GPU_BASELINE_PANOS_PER_SEC = 2.0
 GPU_BASELINE_TRAIN_STEPS_PER_SEC = 1.0  # est. 128x256 batch-8 G+D step
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
 def bench_train():
-  """G+D train-step throughput at lowres config on this chip."""
+  """G+D train-step throughput at the lowres recipe on this chip.
+
+  Dispatches `SE3DS_BENCH_NBS`-step fused clusters (lax.scan, the same
+  path Trainer.train uses, mirroring the reference's num_batched_steps
+  fusion, gan_manager.py:376-385) and reports steps/sec + MFU (from
+  XLA's own per-cluster FLOP count vs the v5e bf16 peak).
+
+  The production gen_dims=128 G (1.1B params) exceeds one v5e's 16 GB
+  HBM in optimizer state alone (PERF.md 'Memory limits'); ZeRO-1 over
+  the data axis is the multi-chip answer. Single-chip numbers use the
+  largest feasible width/batch (SE3DS_BENCH_GENDIMS/SE3DS_BENCH_BATCH).
+  """
   import functools
   import jax
   import jax.numpy as jnp
@@ -48,11 +62,8 @@ def bench_train():
 
   size = int(os.environ.get('SE3DS_BENCH_SIZE', 128))
   batch = int(os.environ.get('SE3DS_BENCH_BATCH', 4))
-  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 10))
-  # Full production dims (128 -> 1.1B-param G) do not fit a single-chip
-  # optimizer state in 16 GB HBM; 64 is the largest single-chip-trainable
-  # width. Multi-chip runs shard the batch (and, future work, the Adam
-  # moments) over the data axis.
+  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 3))
+  nbs = int(os.environ.get('SE3DS_BENCH_NBS', 10))
   gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 64))
   dtype = (jnp.bfloat16 if os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
            == 'bfloat16' else jnp.float32)
@@ -82,12 +93,23 @@ def bench_train():
       [batch_data['image'][:1], batch_data['depth'][:1]], -1)
   st = state_lib.create_train_state(jax.random.PRNGKey(1), generator,
                                     discriminator, cond, disc_in, g_tx, d_tx)
-  step_fn = jax.jit(functools.partial(
-      state_lib.train_step, generator=generator,
+  cluster = {k: jnp.broadcast_to(v, (nbs,) + v.shape)
+             for k, v in batch_data.items()}
+  cluster_fn = jax.jit(functools.partial(
+      state_lib.train_cluster, generator=generator,
       discriminator=discriminator, g_tx=g_tx, d_tx=d_tx, hp=hp),
       donate_argnums=(0,))
 
-  st, metrics = step_fn(st, batch_data)
+  flops_per_cluster = None
+  try:
+    cost = cluster_fn.lower(st, cluster).compile().cost_analysis()
+    if cost:
+      cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+      flops_per_cluster = float(cost.get('flops', 0.0)) or None
+  except Exception:
+    pass
+
+  st, metrics = cluster_fn(st, cluster)
   _ = np.asarray(metrics['gen/gen_loss'])  # compile barrier (host fetch)
   t0 = time.perf_counter()
   _ = np.asarray(metrics['gen/gen_loss'])
@@ -95,18 +117,22 @@ def bench_train():
 
   t0 = time.perf_counter()
   for _ in range(iters):
-    st, metrics = step_fn(st, batch_data)
+    st, metrics = cluster_fn(st, cluster)
   _ = np.asarray(metrics['gen/gen_loss'])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
-  steps_per_sec = iters / elapsed
+  steps_per_sec = iters * nbs / elapsed
   result = {
-      'metric': (f'{w}x{h} batch-{batch} G+D train steps/sec/chip '
-                 f'(d:g=2:1)'),
+      'metric': (f'{w}x{h} batch-{batch} gen_dims-{gen_dims} G+D train '
+                 f'steps/sec/chip (d:g=2:1, {nbs}-step clusters)'),
       'value': round(steps_per_sec, 4),
       'unit': 'steps/sec',
       'vs_baseline': round(
           steps_per_sec / GPU_BASELINE_TRAIN_STEPS_PER_SEC, 4),
   }
+  if flops_per_cluster:
+    tflops = flops_per_cluster * iters / elapsed / 1e12
+    result['mfu'] = round(tflops / V5E_PEAK_BF16_TFLOPS, 4)
+    result['tflops_per_sec'] = round(tflops, 2)
   print(json.dumps(result))
 
 

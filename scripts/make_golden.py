@@ -19,13 +19,52 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = '/root/reference'
 
 
+def _np_interpolate_bilinear(grid, query_points, indexing='ij'):
+  """Independent numpy reimplementation of
+  tensorflow_addons.image.interpolate_bilinear (tfa is not installed
+  here): floors clamped to [0, size-2], alphas clamped to [0, 1],
+  4-corner lerp. Written from the tfa source semantics so the reference's
+  rotate/perspective helpers can run for golden generation."""
+  grid = np.asarray(grid, np.float32)
+  q = np.asarray(query_points, np.float32)
+  n, h, w, _ = grid.shape
+  if indexing == 'ij':
+    qy, qx = q[..., 0], q[..., 1]
+  else:
+    qx, qy = q[..., 0], q[..., 1]
+
+  def axis(qv, size):
+    floor = np.clip(np.floor(qv), 0.0, size - 2)
+    alpha = np.clip(qv - floor, 0.0, 1.0)
+    return floor.astype(np.int64), alpha
+
+  y0, ay = axis(qy, h)
+  x0, ax = axis(qx, w)
+  flat = grid.reshape(n, h * w, -1)
+
+  def gather(yi, xi):
+    return np.take_along_axis(flat, (yi * w + xi)[..., None], axis=1)
+
+  tl, tr = gather(y0, x0), gather(y0, x0 + 1)
+  bl, br = gather(y0 + 1, x0), gather(y0 + 1, x0 + 1)
+  top = tl + (tr - tl) * ax[..., None]
+  bottom = bl + (br - bl) * ax[..., None]
+  return top + (bottom - top) * ay[..., None]
+
+
 def _import_reference():
-  """Imports the reference repo as package `se3ds` with tfa stubbed out."""
-  # Stub tensorflow_addons (not installed; only needed for rotate/perspective
-  # helpers which we do not golden-test through TF).
+  """Imports the reference repo as package `se3ds` with tfa replaced by a
+  numpy-backed shim (only interpolate_bilinear is needed by pano_utils)."""
+  import tensorflow as tf
+
+  def interpolate_bilinear(grid, query_points, indexing='ij'):
+    return tf.constant(
+        _np_interpolate_bilinear(np.asarray(grid), np.asarray(query_points),
+                                 indexing))
+
   tfa = types.ModuleType('tensorflow_addons')
   tfa_image = types.ModuleType('tensorflow_addons.image')
-  tfa_image.interpolate_bilinear = None
+  tfa_image.interpolate_bilinear = interpolate_bilinear
   tfa_layers = types.ModuleType('tensorflow_addons.layers')
   tfa_layers.InstanceNormalization = None
   tfa.image = tfa_image
@@ -136,6 +175,45 @@ def main():
   t = pano_utils.get_world_to_image_transform(
       (32.0, 64.0), tf.constant([0.8, 1.2]), rotations=tf.constant([0.3, -0.7]))
   out['w2i'] = t.numpy()
+
+  # --- rotate_pano (pano_utils.py:306-341) ----------------------------------
+  def rotmat(yaw, pitch, roll):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return (rz @ ry @ rx).astype(np.float32)
+
+  rot_mats = np.stack([rotmat(0.4, -0.2, 0.1),
+                       rotmat(-1.1, 0.3, 0.0)]).astype(np.float32)
+  out['rotate_matrices'] = rot_mats
+  out['rotate_pano'] = pano_utils.rotate_pano(
+      tf.constant(pano), tf.constant(rot_mats)).numpy()
+
+  # --- project_perspective_image (pano_utils.py:344-417) --------------------
+  persp = rng.uniform(0, 1, size=(12, 16, 3)).astype(np.float32)
+  out['persp_in'] = persp
+  out['ppi_constant'] = pano_utils.project_perspective_image(
+      tf.constant(persp), tf.constant([0.9, 1.2]), output_height=10,
+      rotations=tf.constant([0.25, -0.6]), pad_mode='constant',
+      pad_value=0.5).numpy()
+  out['ppi_mean'] = pano_utils.project_perspective_image(
+      tf.constant(persp), tf.constant([0.9, 1.2]), output_height=10,
+      rotations=tf.constant([0.0, 0.0]), pad_mode='mean').numpy()
+  out['ppi_round'] = pano_utils.project_perspective_image(
+      tf.constant(persp), tf.constant([0.9, 1.2]), output_height=10,
+      rotation_matrix=tf.constant(rot_mats[0]), pad_mode='constant',
+      round_to_nearest=True).numpy()
+
+  # --- get_perspective_from_equirectangular_image (pano_utils.py:443-476) ---
+  intr = np.array([[10.0, 0.0, 7.5], [0.0, 10.0, 5.5], [0.0, 0.0, 1.0]],
+                  np.float32)
+  out['gpe_intrinsics'] = intr
+  out['gpe_out'] = pano_utils.get_perspective_from_equirectangular_image(
+      tf.constant(pano[0]), tf.constant(intr), tf.constant(rot_mats[1]),
+      height=12, width=16).numpy()
 
   golden_dir = os.path.join(REPO, 'tests', 'golden')
   os.makedirs(golden_dir, exist_ok=True)

@@ -17,6 +17,7 @@ ImageNet weights, converted once via the loader.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -24,8 +25,24 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+log = logging.getLogger('se3ds_tpu')
+
 POOL_DIM = 2048
 NUM_CLASSES = 1000
+
+# Inception V1 frozen-graph tensor endpoints (reference
+# inception_utils.py:27-29); used by load_frozen_graph_v1 below.
+INCEPTION_V1_INPUT = 'Mul:0'
+INCEPTION_V1_OUTPUT = 'logits:0'
+INCEPTION_V1_FINAL_POOL = 'pool_3:0'
+
+_RANDOM_WEIGHTS_WARNING = (
+    'InceptionV3 is running with DETERMINISTIC RANDOM weights: FID/IS '
+    'values are a consistent RELATIVE metric only and are NOT comparable '
+    'to the paper or the reference pipeline. For absolute FID, convert '
+    'the ImageNet Keras bundle once with scripts/convert_inception.py '
+    'and pass its path via the inception_model.checkpoint_path gin '
+    'binding.')
 
 
 class ConvBN(nn.Module):
@@ -139,6 +156,7 @@ class InceptionV3(nn.Module):
 
 def init_variables(rng: Optional[jax.Array] = None):
   """Deterministic random-weight variables (no ImageNet weights on disk)."""
+  log.warning(_RANDOM_WEIGHTS_WARNING)
   rng = rng if rng is not None else jax.random.PRNGKey(42)
   model = InceptionV3()
   return model.init(rng, jnp.zeros((1, 299, 299, 3)))
@@ -268,3 +286,36 @@ def load_keras_weights(h5_path: str):
       'bias': find('predictions', 'bias'),
   }
   return {'params': params, 'batch_stats': batch_stats}
+
+
+def load_frozen_graph_v1(pb_path: str):
+  """Inception V1 frozen-graph (.pb) loader — surface parity with the
+  reference's `_InceptionLayer`/`_inception_model_v1`
+  (inception_utils.py:66-94).
+
+  Like the reference (whose public `inception_model` only dispatches
+  'V3', inception_utils.py:97-115, so V1 is dead surface there too),
+  this is an auxiliary loader rather than a product-path dependency: it
+  imports TensorFlow lazily (conversion/eval-compat only per CLAUDE.md)
+  and returns a host-side callable `images -> (pool_3 features, softmax
+  predictions)` pruned at the reference's tensor endpoints
+  (Mul:0 -> [pool_3:0, logits:0], inception_utils.py:27-29,82-84).
+  """
+  import tensorflow as tf  # test/conversion-time only
+
+  with tf.io.gfile.GFile(pb_path, 'rb') as f:
+    graph_def = tf.compat.v1.GraphDef.FromString(f.read())
+
+  def import_graph():
+    tf.compat.v1.import_graph_def(graph_def, name='')
+
+  wrapped = tf.compat.v1.wrap_function(import_graph, signature=[])
+  call_fn = wrapped.prune(INCEPTION_V1_INPUT,
+                          [INCEPTION_V1_FINAL_POOL, INCEPTION_V1_OUTPUT])
+
+  def forward(images):
+    pools, logits = call_fn(tf.convert_to_tensor(images))
+    preds = tf.nn.softmax(logits)
+    return np.squeeze(np.asarray(pools)), np.asarray(preds)
+
+  return forward

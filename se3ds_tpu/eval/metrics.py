@@ -32,13 +32,21 @@ log = logging.getLogger('se3ds_tpu')
 
 def _augment_crop_for_inception(images, rng):
   """Random roll + flip, then pole crop (reference eval_metric.py:118-119,
-  245-246: indoor_datasets.augment + crop_pano)."""
+  245-246: indoor_datasets.augment + crop_pano).
+
+  Op-for-op with the reference augment (indoor_datasets.py:34-61): the
+  roll amount is a single scalar for the whole batch
+  (`tf.random.uniform(())`, indoor_datasets.py:55-57) while the flip is
+  drawn independently per image (`tf.image.random_flip_left_right` on a
+  4-D batch flips each image independently, indoor_datasets.py:59-60).
+  """
   k1, k2 = jax.random.split(rng)
   width = images.shape[2]
   roll = jax.random.randint(k1, (), -width // 2, width // 2)
   images = jnp.roll(images, roll, axis=2)
-  flip = jax.random.bernoulli(k2)
-  images = jnp.where(flip, images[:, :, ::-1, :], images)
+  flip = jax.random.bernoulli(k2, shape=(images.shape[0],))
+  images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :],
+                     images)
   return geometry.crop_pano(images, resize_to_original=False)
 
 
@@ -48,9 +56,14 @@ def rollout_generated(generator_apply: Callable,
                       eval_seq_len: int,
                       depth_scale: float,
                       predict_depth: bool = True,
-                      splat_mode: str = 'fast'):
+                      splat_mode: str = 'sorted'):
   """Runs the autoregressive rollout; returns per-frame generated RGB and
   depth RMSE (reference eval_metric.py:144-252 inner step_fn).
+
+  The default splat mode is 'sorted' — exact reference winner selection
+  (min depth + 0.1 m window + per-channel max,
+  point_cloud_utils.py:157-176) — so FID-parity eval reproduces the
+  reference protocol; pass 'fast' to trade exactness for speed.
 
   Args:
     generator_apply: fn(variables, cond_dict) -> 7-output list.
@@ -153,6 +166,7 @@ class EvalMetric:
                depth_scale: float = constants.DEPTH_SCALE,
                predict_depth: bool = True,
                inception_variables=None,
+               splat_mode: str = 'sorted',
                rng: Optional[jax.Array] = None):
     self.ds_factory = ds_factory
     self.eval_num = eval_num
@@ -162,6 +176,7 @@ class EvalMetric:
     self.eval_seq_len = eval_seq_len
     self.depth_scale = depth_scale
     self.predict_depth = predict_depth
+    self.splat_mode = splat_mode
     self._rng = rng if rng is not None else jax.random.PRNGKey(0)
     self._inception_vars = (inception_variables
                             if inception_variables is not None
@@ -210,7 +225,8 @@ class EvalMetric:
     def fn(variables, batch, rng):
       generated, rmse = rollout_generated(
           generator_apply, variables, batch, self.eval_seq_len,
-          self.depth_scale, self.predict_depth)
+          self.depth_scale, self.predict_depth,
+          splat_mode=self.splat_mode)
       pools, logits = {}, {}
       keys = jax.random.split(rng, self.eval_seq_len)
       for i in range(1, self.eval_seq_len):
@@ -247,19 +263,31 @@ class EvalMetric:
     return trim(pools), trim(logits), trim(rmse)
 
   def calculate_fid_score(self, generator_apply, variables):
-    """Returns (fid, fid_std, rmse) dicts keyed by frame index 1..T-1."""
+    """Returns (fid, fid_std, rmse, inception_score) dicts keyed by frame
+    index 1..T-1.
+
+    Inception score uses the reference's split-KL formula
+    (inception_utils.py:224-242) on the generated-pool softmax logits;
+    the reference defines it but never wires it into the eval results —
+    here it rides along with FID for free (SURVEY §6 'FID / IS').
+    """
     pool_fn = self._make_generated_pool_fn(generator_apply)
     fid_list = {i: [] for i in range(1, self.eval_seq_len)}
     rmse_list = {i: [] for i in range(1, self.eval_seq_len)}
+    is_list = {i: [] for i in range(1, self.eval_seq_len)}
     log.info('Calculate Generator Statistics')
     for _ in range(self.avg_num):
-      generated_pool, _, rmse_total = (
+      generated_pool, logits, rmse_total = (
           self._get_generated_pool_for_evaluation(pool_fn, variables))
       for i in range(1, self.eval_seq_len):
         fid_list[i].append(
             fid_lib.calculate_fid(generated_pool[i], self._pool[i]))
         rmse_list[i].append(np.mean(rmse_total[i]))
+        num_splits = max(1, min(10, logits[i].shape[0] // 2))
+        is_list[i].append(
+            fid_lib.calculate_inception_score(logits[i], num_splits)[0])
     fid = {k: float(np.mean(v)) for k, v in fid_list.items()}
     fid_std = {k: float(np.std(v)) for k, v in fid_list.items()}
     rmse = {k: float(np.mean(v)) for k, v in rmse_list.items()}
-    return fid, fid_std, rmse
+    inception_score = {k: float(np.mean(v)) for k, v in is_list.items()}
+    return fid, fid_std, rmse, inception_score

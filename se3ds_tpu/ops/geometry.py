@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from se3ds_tpu import constants
 from se3ds_tpu.ops import image as image_ops
 from se3ds_tpu.ops import splat
 
@@ -137,8 +138,14 @@ def project_feats_to_equirectangular(
   if splat_mode is None:
     splat_mode = 'sorted' if use_sorted_splat else 'scatter'
   if splat_mode == 'pallas':
+    # Try the Mosaic kernel once per process; degrade to 'fast' if the
+    # toolchain rejects it (see ops/splat_pallas.py STATUS) instead of
+    # raising, so splat_mode='pallas' is always safe to request.
     from se3ds_tpu.ops import splat_pallas
-    splat_fn = splat_pallas.project_to_feat_pallas
+    if splat_pallas.pallas_available():
+      splat_fn = splat_pallas.project_to_feat_pallas
+    else:
+      splat_fn = splat.project_to_feat_fast
   else:
     splat_fn = {
         'scatter': splat.project_to_feat,
@@ -275,7 +282,10 @@ def rotate_pano(pano: jnp.ndarray,
   out_width = 2 * out_height
 
   pixel_rays = equirectangular_pixel_rays(out_height)
-  rotated = jnp.einsum('nij,jm->nim', matrix, pixel_rays)
+  # Full-f32 matmul: the default TPU bf16 precision costs ~1e-1 absolute
+  # error after arccos; this matmul is tiny ((3,3)x(3,P)).
+  rotated = jnp.einsum('nij,jm->nim', matrix, pixel_rays,
+                       precision=jax.lax.Precision.HIGHEST)
   x, y, z = rotated[:, 0], rotated[:, 1], rotated[:, 2]
   pitch = jnp.arccos(jnp.clip(-y, -1.0, 1.0))
   heading = jnp.arctan2(x, z)
@@ -307,7 +317,9 @@ def project_perspective_image(image: jnp.ndarray,
       (image_shape[1], image_shape[2]), fov,
       camera_intrinsics=camera_intrinsics, rotations=rotations,
       rotation_matrix=rotation_matrix)
-  image_coordinates = (world_to_image @ world_coordinates).T  # (P, 3)
+  image_coordinates = jnp.matmul(
+      world_to_image, world_coordinates,
+      precision=jax.lax.Precision.HIGHEST).T  # (P, 3)
   xs_and_ys = image_coordinates[:, :2]
   zs = image_coordinates[:, 2:]
   image_coordinates = jnp.where(zs > 0, xs_and_ys / jnp.where(zs == 0, 1, zs),
@@ -353,9 +365,86 @@ def get_perspective_from_equirectangular_image(
   x, y = jnp.meshgrid(jnp.arange(width), jnp.arange(height))
   z = jnp.ones_like(x)
   xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-  xyz = (xyz @ jnp.linalg.inv(camera_intrinsics).T) @ rotation_matrix
+  hi = jax.lax.Precision.HIGHEST
+  xyz = jnp.matmul(
+      jnp.matmul(xyz, jnp.linalg.inv(camera_intrinsics).T, precision=hi),
+      rotation_matrix, precision=hi)
   lonlat = _xyz_to_lonlat(xyz)
   uv = _lonlat_to_uv(lonlat, shape=(eq_height, eq_width)).reshape(-1, 2)
   out = image_ops.interpolate_bilinear(
       image[None].astype(jnp.float32), uv[None], indexing='xy')
   return out.reshape(height, width, channels)
+
+
+def get_intrinsic_matrix(hfov: float = constants.HFOV) -> jnp.ndarray:
+  """Pinhole intrinsic matrix for a horizontal FOV
+  (reference point_cloud_utils.py:23-29)."""
+  f = 1.0 / math.tan(hfov / 2.0)
+  return jnp.array([
+      [f, 0.0, 0.0, 0.0],
+      [0.0, f, 0.0, 0.0],
+      [0.0, 0.0, 1.0, 0.0],
+      [0.0, 0.0, 0.0, 1.0],
+  ], jnp.float32)
+
+
+def get_filtered_coords_and_feats(
+    feats: jnp.ndarray,
+    depth: jnp.ndarray,
+    depth_scale: float,
+    hfov: float = constants.HFOV,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Perspective pinhole unprojection: image plane -> camera-space point
+  cloud (reference point_cloud_utils.py:32-87).
+
+  Coordinates/features whose depth is invalid (<= 0 or >= depth_scale
+  after rescaling) are zeroed; zero is assumed to be the void class.
+
+  Args:
+    feats: (N, H, W) or (N, H, W, C) feature values.
+    depth: (N, H, W) depth in [0, 1].
+    depth_scale: Maximum depth in metres.
+    hfov: Horizontal field of view in radians (reference uses
+      constants.HFOV).
+
+  Returns:
+    xyz: (N, 4, H*W) homogeneous coordinates in the camera frame.
+    filtered_feats: (N, H*W[, C]) features, zeroed where depth is
+      invalid; shape mirrors the input rank.
+  """
+  if feats.ndim not in (3, 4):
+    raise ValueError('feats should have shape (N, H, W) or (N, H, W, C),'
+                     f' got {feats.shape} instead.')
+  is_scalar_feat = feats.ndim == 3
+  if is_scalar_feat:
+    feats = feats[..., None]
+  batch_size, height, width = depth.shape
+  channels = feats.shape[-1]
+
+  # Image plane spans [-1, 1] in both axes (y points down in the array,
+  # matching the reference's meshgrid, point_cloud_utils.py:59-64).
+  xs, ys = jnp.meshgrid(jnp.linspace(-1.0, 1.0, width),
+                        jnp.linspace(-1.0, 1.0, height))
+  xs = jnp.tile(xs[None, None].astype(jnp.float32), [batch_size, 1, 1, 1])
+  ys = jnp.tile(ys[None, None].astype(jnp.float32), [batch_size, 1, 1, 1])
+  metric_depth = (depth * depth_scale)[:, None, :, :]
+  ones = jnp.ones_like(metric_depth)
+  xyz = jnp.concatenate(
+      [xs * metric_depth, ys * metric_depth, metric_depth, ones], axis=1)
+
+  flat_depth = metric_depth.reshape(batch_size, -1)
+  depth_mask = (flat_depth > 0) & (flat_depth < depth_scale)
+
+  filtered_feats = feats.reshape(batch_size, -1, channels)
+  filtered_feats = (filtered_feats
+                    * depth_mask[..., None].astype(filtered_feats.dtype))
+  filtered_feats = filtered_feats.astype(jnp.float32)
+
+  xyz = xyz.reshape(batch_size, 4, -1)
+  xyz = xyz * depth_mask[:, None, :].astype(jnp.float32)
+  xyz = jnp.matmul(jnp.linalg.inv(get_intrinsic_matrix(hfov)), xyz,
+                   precision=jax.lax.Precision.HIGHEST)
+
+  if is_scalar_feat:
+    filtered_feats = filtered_feats[..., 0]
+  return xyz, filtered_feats

@@ -19,9 +19,9 @@ STATUS: numerically validated in Pallas interpreter mode (bit-identical
 to project_to_feat_fast; see tests/test_geometry.py). The axon remote
 Mosaic toolchain in this build environment crashes (HTTP 500, no
 diagnostics) on `pltpu.make_async_copy` and on sublane-flatten reshapes,
-so the kernel cannot yet be compiled here and selecting
-splat_mode='pallas' raises a MosaicError at compile time on this relay
-(use 'fast' instead; the kernel is kept for standard toolchains). On a standard
+so the kernel cannot yet be compiled here; `pallas_available()` probes
+the toolchain once per process and splat_mode='pallas' degrades to
+'fast' automatically when the probe fails. On a standard
 libtpu/Mosaic install this kernel replaces the two data-dependent
 scatters (~15 ms at 1M points) with one multi-payload sort (~2 ms) plus
 a fully-parallel tiled masked reduction (~3 ms estimated from VPU
@@ -139,6 +139,36 @@ def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
       interpret=interpret,
   )(offsets, sflat[:, None], sdepth[:, None], spacked[:, None])
   return zbuf.reshape(num_pixels), pbuf.reshape(num_pixels)
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_available() -> bool:
+  """True when the Mosaic toolchain can compile+run the splat kernel.
+
+  Probes once per process with one TILE of points on the default backend
+  (compile + execute + fetch, so relay-deferred Mosaic failures are also
+  caught). Callers use this to degrade splat_mode='pallas' to the packed
+  'fast' scatter instead of raising (see geometry.
+  project_feats_to_equirectangular).
+  """
+  import logging
+  import numpy as np
+  log = logging.getLogger('se3ds_tpu')
+  try:
+    coords = jnp.stack([
+        jnp.linspace(-0.5, 0.5, CHUNK), jnp.linspace(-0.5, 0.5, CHUNK),
+        jnp.full((CHUNK,), 2.0), jnp.ones((CHUNK,))])[None]
+    feats = jnp.ones((1, CHUNK, 3))
+    zbuf, _ = project_to_feat_pallas(coords, feats, 8, TILE // 8,
+                                     depth_scale=20.0, input_void_class=-1.0)
+    np.asarray(zbuf)  # host fetch forces the real (relay) compile
+    return True
+  except Exception as e:  # MosaicError/XlaRuntimeError shapes vary by build
+    log.warning(
+        'Pallas splat kernel unavailable on this toolchain (%s: %s); '
+        "splat_mode='pallas' degrades to 'fast'.",
+        type(e).__name__, str(e)[:200])
+    return False
 
 
 def project_to_feat_pallas(

@@ -64,16 +64,41 @@ def shard_leaf_dim0(mesh: Mesh, leaf) -> NamedSharding:
   return NamedSharding(mesh, P())
 
 
+def shard_leaf_zero1(mesh: Mesh, leaf) -> NamedSharding:
+  """ZeRO-style sharding for an arbitrarily-shaped leaf: shard the
+  LARGEST axis divisible by the data-parallel degree.
+
+  Conv kernels are (Kh, Kw, I, O) with Kh/Kw in {1, 3, 7}; a dim-0 rule
+  would replicate every kernel (and with it ~95% of the Adam bytes). The
+  channel axes are multiples of gen_dims, so picking the largest
+  divisible axis shards essentially all optimizer memory.
+  """
+  num_data = mesh.shape['data']
+  shape = np.shape(leaf)
+  best = None
+  for i, s in enumerate(shape):
+    if s >= num_data and s % num_data == 0:
+      if best is None or s > shape[best]:
+        best = i
+  if best is None:
+    return NamedSharding(mesh, P())
+  spec = [None] * len(shape)
+  spec[best] = 'data'
+  return NamedSharding(mesh, P(*spec))
+
+
 def train_state_shardings(state, mesh: Mesh, shard_opt_state: bool = True):
-  """Sharding tree for a TrainState: params/EMA replicated, optimizer
-  moments sharded over the data axis (ZeRO-1).
+  """Sharding tree for a TrainState: forward params replicated; Adam
+  moments AND the EMA shadow copy sharded over the data axis (ZeRO-1).
 
   Under GSPMD this single annotation yields the ZeRO-1 schedule
   automatically: gradients are reduce-scattered into the sharded Adam
   moments and the parameter update is all-gathered, both riding ICI.
-  It cuts per-chip optimizer memory by the data-parallel degree — the
-  production SE3DS generator (1.1B params) needs this to train at all
-  (full Adam state alone is ~9 GB).
+  The EMA copy is pure per-parameter state (elementwise update each
+  step, read only at eval), so it shards the same way. Together this
+  cuts per-chip state for the production config (1.1B-param G, ~20 GB
+  bundle) to ~6 GB on v5e-8 — verified executable in
+  tests/test_memory_budget.py.
   """
   rep = replicated(mesh)
 
@@ -81,7 +106,7 @@ def train_state_shardings(state, mesh: Mesh, shard_opt_state: bool = True):
     return jax.tree_util.tree_map(fn, tree)
 
   rep_fn = lambda leaf: rep
-  opt_fn = (functools.partial(shard_leaf_dim0, mesh)
+  opt_fn = (functools.partial(shard_leaf_zero1, mesh)
             if shard_opt_state else rep_fn)
   return type(state)(
       step=rep,
@@ -89,11 +114,17 @@ def train_state_shardings(state, mesh: Mesh, shard_opt_state: bool = True):
       g_state=shard_tree(state.g_state, rep_fn),
       d_params=shard_tree(state.d_params, rep_fn),
       d_state=shard_tree(state.d_state, rep_fn),
-      ema_params=shard_tree(state.ema_params, rep_fn),
+      ema_params=shard_tree(state.ema_params, opt_fn),
       ema_state=shard_tree(state.ema_state, rep_fn),
       g_opt_state=shard_tree(state.g_opt_state, opt_fn),
       d_opt_state=shard_tree(state.d_opt_state, opt_fn),
   )
+
+
+def cluster_sharding(mesh: Mesh) -> NamedSharding:
+  """Sharding for a stacked step-cluster batch {k: (K, B, ...)}: the
+  steps axis replicated (it is scanned over), the batch dim on 'data'."""
+  return NamedSharding(mesh, P(None, 'data'))
 
 
 def shard_batch(batch, mesh: Mesh, spatial_axis: Optional[int] = None):

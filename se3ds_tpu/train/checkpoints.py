@@ -38,6 +38,8 @@ class CheckpointManager:
     self._mgr = _manager(model_dir, max_to_keep)
 
   def save(self, step: int, state) -> None:
+    if step in self._mgr.all_steps():
+      return  # idempotent: final save may coincide with a periodic save
     self._mgr.save(step, args=ocp.args.StandardSave(state))
     self._mgr.wait_until_finished()
 

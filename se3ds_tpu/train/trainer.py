@@ -15,6 +15,8 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import queue
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -102,7 +104,8 @@ class Trainer:
       # TPU-native knobs.
       mesh: Optional[Any] = None,
       max_to_keep: int = 200,
-      eval_avg_num: int = 1,
+      eval_avg_num: int = 3,
+      eval_splat_mode: str = 'sorted',
       shard_opt_state: bool = True,
   ):
     self.model_dir = model_dir
@@ -133,6 +136,7 @@ class Trainer:
     self.predict_depth = predict_depth
     self.max_to_keep = max_to_keep
     self.eval_avg_num = eval_avg_num
+    self.eval_splat_mode = eval_splat_mode
     self.shard_opt_state = shard_opt_state
 
     self.hp = state_lib.GANHParams(
@@ -153,6 +157,9 @@ class Trainer:
           devices=jax.devices()[:num_data])
     self.mesh = mesh
     self.num_replicas = self.mesh.devices.size
+    # Serialises train_ds access between the cluster-prefetch thread and
+    # the image-grid path.
+    self._ds_lock = threading.Lock()
     if model_dir:
       os.makedirs(model_dir, exist_ok=True)
 
@@ -267,32 +274,41 @@ class Trainer:
     config_lib.write_operative_config(self.model_dir, start_step)
 
     rep = mesh_lib.replicated(self.mesh)
-    step_fn = jax.jit(
+    nbs = self.num_batched_steps
+    # The hot loop dispatches ONE device program per `num_batched_steps`
+    # cluster (lax.scan inside state_lib.train_cluster), mirroring the
+    # reference's tf.range step fusion (gan_manager.py:376-385,
+    # lowres.gin num_batched_steps=100) — essential here because each
+    # dispatch crosses the relay to the chip.
+    cluster_fn = jax.jit(
         functools.partial(
-            state_lib.train_step, generator=self.generator,
+            state_lib.train_cluster, generator=self.generator,
             discriminator=self.discriminator, g_tx=self.g_tx,
             d_tx=self.d_tx, hp=self.hp),
         out_shardings=(state_shardings, rep), donate_argnums=(0,))
 
     log.info('Start Training...')
     metric_acc: Dict[str, list] = {}
-    for step in range(start_step, num_train_steps, self.num_batched_steps):
-      t_start = time.time()
-      for _ in range(self.num_batched_steps):
-        batch = self._device_batch(next(self.train_ds))
-        state, metrics = step_fn(state, batch)
-        for k, v in metrics.items():
-          metric_acc.setdefault(k, []).append(v)
-      jax.block_until_ready(metrics['gen/gen_loss'])
+    cluster_iter = self._prefetch_clusters(nbs)
+    last_log_step = start_step
+    t_start = time.time()
+    for step in range(start_step, num_train_steps, nbs):
+      state, metrics = cluster_fn(state, next(cluster_iter))
+      for k, v in metrics.items():
+        metric_acc.setdefault(k, []).append(v)
+      completed = step + nbs
 
-      if step % self.log_every_steps < self.num_batched_steps:
+      if completed % self.log_every_steps < nbs:
+        # _reduce_metrics fetches to host — the only true barrier on the
+        # relay backend; between logs, clusters are dispatched async.
         result = self._reduce_metrics(metric_acc)
         metric_acc = {}
-        result['steps_per_sec'] = self.num_batched_steps / max(
+        result['steps_per_sec'] = (completed - last_log_step) / max(
             time.time() - t_start, 1e-7)
         train_logger.log_scalars(step, **result)
-      if step > self.num_batched_steps and (
-          step % self.save_every_steps < self.num_batched_steps):
+        last_log_step = completed
+        t_start = time.time()
+      if completed % self.save_every_steps < nbs:
         ckpt_mgr.save(int(state.step), jax.device_get(state))
         config_lib.write_operative_config(self.model_dir, int(state.step))
         image_dict, _ = self._get_image_grid(state, 'train')
@@ -301,13 +317,41 @@ class Trainer:
     task_mgr.mark_training_done()
     return state
 
-  def _device_batch(self, batch):
+  def _host_batch(self, batch):
     keep = ('image', 'depth', 'proj_image', 'proj_depth', 'proj_mask',
             'blurred_mask')
     out = {k: np.asarray(batch[k], np.float32) for k in keep}
     if out['depth'].ndim == 3:
       out['depth'] = out['depth'][..., None]
-    return mesh_lib.shard_batch(out, self.mesh)
+    return out
+
+  def _device_batch(self, batch):
+    return mesh_lib.shard_batch(self._host_batch(batch), self.mesh)
+
+  def _prefetch_clusters(self, nbs: int, depth: int = 2):
+    """Yields device-resident stacked cluster batches {k: (K, B, ...)}.
+
+    A daemon thread pulls and stacks `nbs` host batches ahead of the
+    consumer (reference base_dataset prefetch + the per-cluster infeed of
+    gan_manager.train_cluster), so PNG decode overlaps device compute.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sharding = mesh_lib.cluster_sharding(self.mesh)
+
+    def produce():
+      while True:
+        batches = []
+        with self._ds_lock:
+          for _ in range(nbs):
+            batches.append(self._host_batch(next(self.train_ds)))
+        q.put({k: np.stack([b[k] for b in batches])
+               for k in batches[0]})
+
+    threading.Thread(target=produce, daemon=True,
+                     name='se3ds-cluster-prefetch').start()
+    while True:
+      host = q.get()
+      yield {k: jax.device_put(v, sharding) for k, v in host.items()}
 
   def _reduce_metrics(self, acc: Dict[str, list]) -> Dict[str, float]:
     result = {}
@@ -329,7 +373,9 @@ class Trainer:
     image_dict = {}
     output_dict = {}
     if name_prefix == 'train':
-      batch = self._device_batch(next(self.train_ds))
+      with self._ds_lock:
+        raw = next(self.train_ds)
+      batch = self._device_batch(raw)
       chunk = {k: v[:v.shape[0] // self.d_step_per_g_step]
                for k, v in batch.items()}
       cond = {k: chunk[k] for k in ('proj_image', 'proj_depth', 'proj_mask',
@@ -356,11 +402,12 @@ class Trainer:
       gen_frames, _ = metrics_lib.rollout_generated(
           self._generator_apply_eval, self._variables(state), jbatch,
           self.eval_seq_len, float(np.asarray(batch['depth_scale'])[0]),
-          self.predict_depth)
+          self.predict_depth, splat_mode=self.eval_splat_mode)
       ema_frames, _ = metrics_lib.rollout_generated(
           self._generator_apply_eval, self._variables(state, ema=True),
           jbatch, self.eval_seq_len,
-          float(np.asarray(batch['depth_scale'])[0]), self.predict_depth)
+          float(np.asarray(batch['depth_scale'])[0]), self.predict_depth,
+          splat_mode=self.eval_splat_mode)
       cat = lambda frames: np.concatenate(
           [np.asarray(frames[i]) for i in range(self.eval_seq_len)], 0)
       real = np.concatenate(
@@ -405,6 +452,7 @@ class Trainer:
         avg_num=self.eval_avg_num,
         eval_seq_len=max(self.eval_seq_len, 2),
         predict_depth=self.predict_depth,
+        splat_mode=self.eval_splat_mode,
         inception_variables=config_lib.apply_config('inception_model'))
 
     state = self._create_state()
@@ -454,9 +502,9 @@ class Trainer:
               wf.write(png_lib.encode_png(frame))
 
       time_start = time.time()
-      fid, _, rmse = metric.calculate_fid_score(
+      fid, _, rmse, is_score = metric.calculate_fid_score(
           self._generator_apply_eval, self._variables(state))
-      ema_fid, _, ema_rmse = metric.calculate_fid_score(
+      ema_fid, _, ema_rmse, ema_is = metric.calculate_fid_score(
           self._generator_apply_eval, self._variables(state, ema=True))
       log.info('Step %d, Eval Time %.2f minutes', step,
                (time.time() - time_start) / 60.0)
@@ -464,7 +512,8 @@ class Trainer:
       result_dict = {}
       for i in fid:
         curr = dict(fid=fid[i], ema_fid=ema_fid[i], rmse=rmse[i],
-                    ema_rmse=ema_rmse[i])
+                    ema_rmse=ema_rmse[i], inception_score=is_score[i],
+                    ema_inception_score=ema_is[i])
         result_dict.update({f'{k}@{i}': v for k, v in curr.items()})
       result_dict = {f'{self.test_split}/eval_image/{k}': v
                      for k, v in result_dict.items()}

@@ -4,12 +4,14 @@ Golden arrays are produced by scripts/make_golden.py, which runs the actual
 reference implementation (/root/reference) on fixed synthetic inputs.
 """
 
+import math
 import os
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from se3ds_tpu import constants
 from se3ds_tpu.ops import geometry, splat
 
 GOLDEN = np.load(
@@ -217,3 +219,124 @@ def test_pallas_splat_interpret_matches_fast():
       depth_scale=20.0, input_void_class=-1.0, interpret=True)
   np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
   np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+
+def test_pinhole_intrinsics_analytic():
+  """hfov=90deg -> focal 1/tan(45deg)=1 -> identity-scaled intrinsics
+  (reference point_cloud_utils.py:23-29)."""
+  k = np.asarray(geometry.get_intrinsic_matrix(math.pi / 2))
+  np.testing.assert_allclose(k, np.eye(4), atol=1e-6)
+  k60 = np.asarray(geometry.get_intrinsic_matrix(math.pi / 3))
+  assert np.isclose(k60[0, 0], 1.0 / math.tan(math.pi / 6))
+
+
+def test_pinhole_unprojection_analytic_plane():
+  """A constant-depth image with hfov=90deg unprojects to the image-plane
+  grid scaled by metric depth (inv(K) = I)."""
+  h = w = 8
+  depth01 = 0.25  # metric = 5 m at DEPTH_SCALE 20
+  depth = jnp.full((1, h, w), depth01)
+  feats = jnp.ones((1, h, w), jnp.float32)
+  xyz1, ff = geometry.get_filtered_coords_and_feats(
+      feats, depth, constants.DEPTH_SCALE, hfov=math.pi / 2)
+  xyz1 = np.asarray(xyz1).reshape(4, h, w)
+  metric = depth01 * constants.DEPTH_SCALE
+  xs, ys = np.meshgrid(np.linspace(-1, 1, w), np.linspace(-1, 1, h))
+  np.testing.assert_allclose(xyz1[0], xs * metric, atol=1e-5)
+  np.testing.assert_allclose(xyz1[1], ys * metric, atol=1e-5)
+  np.testing.assert_allclose(xyz1[2], metric, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(ff), 1.0)
+
+
+def test_pinhole_unprojection_filters_invalid_depth():
+  """Invalid depth (<=0 or >= depth_scale) zeroes coords and feats
+  (reference point_cloud_utils.py:70-84)."""
+  h = w = 4
+  depth = np.full((1, h, w), 0.5, np.float32)
+  depth[0, 0, 0] = 0.0   # invalid: zero depth
+  depth[0, 1, 1] = 1.0   # invalid: max depth
+  feats = np.full((1, h, w, 3), 7.0, np.float32)
+  xyz1, ff = geometry.get_filtered_coords_and_feats(
+      jnp.asarray(feats), jnp.asarray(depth), constants.DEPTH_SCALE)
+  xyz1 = np.asarray(xyz1).reshape(4, h, w)
+  ff = np.asarray(ff).reshape(h, w, 3)
+  assert np.all(xyz1[:, 0, 0] == 0)
+  assert np.all(xyz1[:, 1, 1] == 0)
+  assert np.all(ff[0, 0] == 0) and np.all(ff[1, 1] == 0)
+  assert np.all(ff[2, 2] == 7.0)
+
+
+@pytest.mark.parametrize('multi_channel', [False, True])
+def test_pinhole_roundtrip_project(multi_channel):
+  """Unproject -> z-buffer reproject round trip: shapes and ranges
+  (reference point_cloud_utils_test.py:26-64)."""
+  batch_size, image_size = 2, 32
+  rng = np.random.RandomState(0)
+  feat_shape = (batch_size, image_size, image_size)
+  if multi_channel:
+    feat_shape += (3,)
+  feats = rng.randint(0, 42, feat_shape).astype(np.float32)
+  depth = rng.uniform(0, 1, (batch_size, image_size, image_size)).astype(
+      np.float32)
+  xyz1, ff = geometry.get_filtered_coords_and_feats(
+      jnp.asarray(feats), jnp.asarray(depth), constants.DEPTH_SCALE)
+  assert xyz1.shape == (batch_size, 4, image_size * image_size)
+  pd, pf = splat.project_to_feat(
+      xyz1, ff, image_size, image_size, constants.DEPTH_SCALE,
+      constants.INVALID_SEM_VALUE)
+  assert pd.shape == (batch_size, image_size, image_size)
+  assert pf.shape == feat_shape
+  assert float(jnp.min(pd)) >= 0 and float(jnp.max(pd)) <= 1
+  assert float(jnp.min(pf)) >= 0 and float(jnp.max(pf)) <= feats.max()
+
+
+def test_rotate_pano_golden():
+  """Golden-pinned vs the reference TF rotate_pano (pano_utils.py:306-341)
+  on non-trivial rotation matrices."""
+  if 'rotate_pano' not in GOLDEN:
+    pytest.skip('golden npz predates rotate/perspective pins')
+  pano = jnp.asarray(GOLDEN['pano_in'])
+  mats = jnp.asarray(GOLDEN['rotate_matrices'])
+  out = geometry.rotate_pano(pano, mats)
+  # f32 arccos near the poles amplifies ~1e-7 ray error to ~1e-5 pixel
+  # coordinates; 1e-4 on interpolated values is the honest f32 bound.
+  np.testing.assert_allclose(np.asarray(out), GOLDEN['rotate_pano'],
+                             atol=1e-4)
+
+
+def test_project_perspective_image_golden():
+  """Golden-pinned vs reference project_perspective_image
+  (pano_utils.py:344-417): constant/mean padding, rotations,
+  rotation_matrix, and round_to_nearest paths."""
+  if 'ppi_constant' not in GOLDEN:
+    pytest.skip('golden npz predates rotate/perspective pins')
+  persp = jnp.asarray(GOLDEN['persp_in'])
+  fov = jnp.array([0.9, 1.2])
+  out_c = geometry.project_perspective_image(
+      persp, fov, output_height=10, rotations=jnp.array([0.25, -0.6]),
+      pad_mode='constant', pad_value=0.5)
+  np.testing.assert_allclose(np.asarray(out_c), GOLDEN['ppi_constant'],
+                             atol=1e-5)
+  out_m = geometry.project_perspective_image(
+      persp, fov, output_height=10, rotations=jnp.array([0.0, 0.0]),
+      pad_mode='mean')
+  np.testing.assert_allclose(np.asarray(out_m), GOLDEN['ppi_mean'],
+                             atol=1e-5)
+  out_r = geometry.project_perspective_image(
+      persp, fov, output_height=10,
+      rotation_matrix=jnp.asarray(GOLDEN['rotate_matrices'][0]),
+      pad_mode='constant', round_to_nearest=True)
+  np.testing.assert_allclose(np.asarray(out_r), GOLDEN['ppi_round'],
+                             atol=1e-5)
+
+
+def test_get_perspective_from_equirectangular_golden():
+  """Golden-pinned vs reference get_perspective_from_equirectangular_image
+  (pano_utils.py:443-476)."""
+  if 'gpe_out' not in GOLDEN:
+    pytest.skip('golden npz predates rotate/perspective pins')
+  pano = jnp.asarray(GOLDEN['pano_in'][0])
+  out = geometry.get_perspective_from_equirectangular_image(
+      pano, jnp.asarray(GOLDEN['gpe_intrinsics']),
+      jnp.asarray(GOLDEN['rotate_matrices'][1]), height=12, width=16)
+  np.testing.assert_allclose(np.asarray(out), GOLDEN['gpe_out'], atol=1e-5)

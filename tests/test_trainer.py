@@ -58,11 +58,40 @@ def test_eval_unit_path(trainer):
   keys = list(result)
   assert any('fid@1' in k for k in keys), keys
   assert any('ema_rmse@1' in k for k in keys), keys
+  # Inception score rides along with FID (reference defines it,
+  # inception_utils.py:224-242, but never wires it into eval results).
+  assert any('inception_score@1' in k for k in keys), keys
   for k, v in result.items():
     assert np.isfinite(v), (k, v)
   # Eval wrote per-frame PNG dumps.
   img_dir = os.path.join(trainer.model_dir, 'images', 'val_seen')
   assert os.path.isdir(img_dir)
+
+
+def test_elastic_resume_restores_identical_state(trainer):
+  """Preemption recovery (reference gan_manager.py:324-331): a fresh
+  trainer pointed at the same model_dir restores the latest checkpoint
+  bit-identically and continues from its step.
+
+  Runs after test_train_one_epoch_writes_checkpoint (same module-scoped
+  trainer; its train() produced the step-1 checkpoint).
+  """
+  import jax
+  from se3ds_tpu.train import checkpoints as ckpt_lib
+
+  template = jax.device_get(trainer._create_state())
+  mgr = ckpt_lib.CheckpointManager(trainer.model_dir, 10)
+  saved = mgr.restore(template)
+  assert saved is not None and int(saved.step) == 1
+
+  # A brand-new trainer resumes: restores step 1 == num_train_steps, so
+  # the loop body never runs and the returned state IS the checkpoint.
+  t2 = config_lib.apply_config('GAN', model_dir=trainer.model_dir)
+  resumed = jax.device_get(t2.train())
+  assert int(resumed.step) == 1
+  for a, b in zip(jax.tree_util.tree_leaves(saved),
+                  jax.tree_util.tree_leaves(resumed)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_config_parsing_surface():
