@@ -100,14 +100,14 @@ def bench_train():
       discriminator=discriminator, g_tx=g_tx, d_tx=d_tx, hp=hp),
       donate_argnums=(0,))
 
-  flops_per_cluster = None
-  try:
-    cost = cluster_fn.lower(st, cluster).compile().cost_analysis()
-    if cost:
-      cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-      flops_per_cluster = float(cost.get('flops', 0.0)) or None
-  except Exception:
-    pass
+  # Analytic conv+matmul FLOPs (XLA's cost_analysis under-reports ~15x
+  # through the relay backend; see utils/flops.py).
+  from se3ds_tpu.utils import flops as flops_lib
+  flops_per_cluster = flops_lib.count_flops(
+      lambda s, c: state_lib.train_cluster(
+          s, c, generator=generator, discriminator=discriminator,
+          g_tx=g_tx, d_tx=d_tx, hp=hp),
+      st, cluster)
 
   st, metrics = cluster_fn(st, cluster)
   _ = np.asarray(metrics['gen/gen_loss'])  # compile barrier (host fetch)

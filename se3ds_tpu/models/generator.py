@@ -205,15 +205,21 @@ class OutputHead(nn.Module):
   @nn.compact
   def __call__(self, x, train: bool = False):
     conv = (layers.SpectralConv if self.spectral else layers.Conv2D)
-    out = x
-    for i, (features, act) in enumerate([
-        (self.hidden_dims, True), (self.hidden_dims, True),
-        (self.out_channels, False)]):
+    # Eval circular padding: ONE wrapped-margin copy feeds the whole
+    # 3-conv chain (wrap_width commutes with circular conv; BN/LeakyReLU
+    # are elementwise), bit-equal to per-conv circular pads but without
+    # 3 full-width activation copies at the two costliest resolutions.
+    wrap = self.circular_pad and not train
+    specs = [(self.hidden_dims, True), (self.hidden_dims, True),
+             (self.out_channels, False)]
+    out = layers.wrap_width(x, len(specs)) if wrap else x
+    for i, (features, act) in enumerate(specs):
       out = layers.SyncBatchNorm(dtype=self.dtype, name=f'bn{i}')(out,
                                                                   train=train)
       out = conv(features, kernel_size=3, strides=1, padding='VALID',
                  fused_pad=1, circular=self.circular_pad,
-                 dtype=self.dtype, name=f'conv{i}')(out, train=train)
+                 dtype=self.dtype, name=f'conv{i}')(out, train=train,
+                                                    prewrapped=wrap)
       if act:
         # Keras LeakyReLU() default slope (reference image_models.py:83).
         out = nn.leaky_relu(out, negative_slope=0.3)
@@ -229,15 +235,18 @@ class GlobalContext(nn.Module):
   @nn.compact
   def __call__(self, x, train: bool = False):
     h = self.hidden_dims
-    out = x
     specs = [(h * 4, True), (h * 8, True), (h * 4, True), (h * 4, False)]
+    # One wrapped-margin copy for the 4-conv chain (see OutputHead).
+    wrap = self.circular_pad and not train
+    out = layers.wrap_width(x, len(specs)) if wrap else x
     for i, (features, act) in enumerate(specs):
       out = layers.SyncBatchNorm(dtype=self.dtype, name=f'bn{i}')(out,
                                                                   train=train)
       out = layers.SpectralConv(features, kernel_size=3, strides=1,
                                 padding='VALID', fused_pad=1,
                                 circular=self.circular_pad, dtype=self.dtype,
-                                name=f'conv{i}')(out, train=train)
+                                name=f'conv{i}')(out, train=train,
+                                                 prewrapped=wrap)
       if act:
         # Keras LeakyReLU() default slope (reference image_models.py:112).
         out = nn.leaky_relu(out, negative_slope=0.3)

@@ -95,9 +95,33 @@ def _conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides, padding,
       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+def wrap_width(x: jnp.ndarray, margin: int) -> jnp.ndarray:
+  """Circularly extends (N, H, W, C) by `margin` columns on each side.
+
+  Column j of the result equals x[..., (j - margin) mod W, :]. One wrap
+  of margin m feeds a chain of m stride-1 width-VALID convs: circular
+  convolution commutes with the wrap (shift invariance), so each conv
+  consumes one margin column per side and the chain ends bit-equal to m
+  per-conv circular pads — with ONE activation copy instead of m
+  (the pad copies cost ~26 ms/forward at 1024x512 eval, PERF.md).
+  """
+  if margin == 0:
+    return x
+  width = x.shape[2]
+  if margin <= width:
+    return jnp.concatenate(
+        [x[:, :, -margin:], x, x[:, :, :margin]], axis=2)
+  # Margin wider than the pano itself (tiny test shapes): mod-index
+  # gather; a plain slice would silently clamp and shrink the chain.
+  import numpy as np
+  idx = np.arange(-margin, width + margin) % width
+  return jnp.take(x, jnp.asarray(idx), axis=2)
+
+
 def circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides,
                     pad: int, circular: bool, train: bool,
-                    border_fixup: bool = False) -> jnp.ndarray:
+                    border_fixup: bool = False,
+                    prewrapped: bool = False) -> jnp.ndarray:
   """Fused equivalent of `pad2d(x, pad, circular, train)` + VALID conv.
 
   The reference pads every 3x3/7x7 conv input explicitly (PadLayer),
@@ -116,6 +140,12 @@ def circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides,
   sh, sw = _to_pair(strides)
   kh, kw = kernel.shape[0], kernel.shape[1]
   p = pad
+  if prewrapped:
+    # Input already carries a wrapped width margin (wrap_width); pad
+    # height only and consume one margin column per side.
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(sh, sw), padding=((p, p), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
   if circular and not train and p > 0 and not border_fixup:
     padded = pad2d(x, p, circular_pad=True, train=False)
     return jax.lax.conv_general_dilated(
@@ -197,7 +227,8 @@ class SpectralConv(nn.Module):
   dtype: Dtype = jnp.float32
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+  def __call__(self, x: jnp.ndarray, train: bool = False,
+               prewrapped: bool = False) -> jnp.ndarray:
     kh, kw = _to_pair(self.kernel_size)
     in_ch = x.shape[-1]
     kernel = self.param('kernel', conv_kernel_init,
@@ -214,7 +245,7 @@ class SpectralConv(nn.Module):
     if self.fused_pad:
       out = circular_conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
                             self.strides, self.fused_pad, self.circular,
-                            train)
+                            train, prewrapped=prewrapped)
     else:
       out = _conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
                     self.strides, self.padding.upper())
@@ -248,7 +279,8 @@ class PartialConv(nn.Module):
   def __call__(self,
                feature: jnp.ndarray,
                mask: Optional[jnp.ndarray] = None,
-               train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               train: bool = False,
+               prewrapped: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     kh, kw = _to_pair(self.kernel_size)
     in_ch = feature.shape[-1]
     kernel = self.param('kernel', conv_kernel_init,
@@ -261,7 +293,8 @@ class PartialConv(nn.Module):
     mask_kernel = jnp.ones((kh, kw, 1, 1), feature.dtype)
     if self.fused_pad:
       update_mask = circular_conv2d(mask, mask_kernel, self.strides,
-                                    self.fused_pad, self.circular, train)
+                                    self.fused_pad, self.circular, train,
+                                    prewrapped=prewrapped)
     else:
       update_mask = _conv2d(mask, mask_kernel, self.strides,
                             self.padding.upper())
@@ -287,7 +320,8 @@ class PartialConv(nn.Module):
     if self.fused_pad:
       out = circular_conv2d(out.astype(self.dtype),
                             kernel.astype(self.dtype), self.strides,
-                            self.fused_pad, self.circular, train)
+                            self.fused_pad, self.circular, train,
+                            prewrapped=prewrapped)
     else:
       out = _conv2d(out.astype(self.dtype), kernel.astype(self.dtype),
                     self.strides, self.padding.upper())
@@ -322,14 +356,15 @@ class Conv2D(nn.Module):
   dtype: Dtype = jnp.float32
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+  def __call__(self, x: jnp.ndarray, train: bool = False,
+               prewrapped: bool = False) -> jnp.ndarray:
     kh, kw = _to_pair(self.kernel_size)
     kernel = self.param('kernel', conv_kernel_init,
                         (kh, kw, x.shape[-1], self.features))
     if self.fused_pad:
       out = circular_conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
                             self.strides, self.fused_pad, self.circular,
-                            train)
+                            train, prewrapped=prewrapped)
     else:
       out = _conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
                     self.strides, self.padding.upper())
@@ -445,10 +480,14 @@ class Bottleneck(nn.Module):
   dtype: Dtype = jnp.float32
 
   @nn.compact
-  def __call__(self, x, mask=None, train: bool = False):
+  def __call__(self, x, mask=None, train: bool = False,
+               prewrapped: bool = False):
+    # prewrapped: x and mask carry a wrapped width margin; conv2 (the
+    # only 3x3) consumes one column per side, the residual is cropped.
+    assert not (prewrapped and (self.strides != 1 or self.has_downsample))
     partial = functools.partial(PartialConv, spectral_norm=self.spectral,
                                 dtype=self.dtype)
-    residual = x
+    residual = x[:, :, 1:-1] if prewrapped else x
     out, update_mask = partial(self.filters, kernel_size=1, strides=1,
                                padding='SAME', name='conv1')(x, mask,
                                                              train=train)
@@ -457,7 +496,8 @@ class Bottleneck(nn.Module):
     out, update_mask = partial(self.filters, kernel_size=3,
                                strides=self.strides, padding='VALID',
                                fused_pad=1, circular=self.circular_pad,
-                               name='conv2')(out, update_mask, train=train)
+                               name='conv2')(out, update_mask, train=train,
+                                             prewrapped=prewrapped)
     out = SyncBatchNorm(dtype=self.dtype, name='act2_bn')(out, train=train)
     out = nn.relu(out)
     out, update_mask = partial(self.expansion * self.filters, kernel_size=1,
@@ -496,11 +536,33 @@ class ResStack(nn.Module):
         has_downsample=has_downsample, circular_pad=self.circular_pad,
         spectral=self.spectral, dtype=self.dtype,
         name='block0')(x, mask, train=train)
-    for i in range(1, self.blocks):
-      out, update_mask = Bottleneck(
-          filters=self.planes, expansion=self.expansion,
-          circular_pad=self.circular_pad, spectral=self.spectral,
-          dtype=self.dtype, name=f'block{i}')(out, update_mask, train=train)
+    n_tail = self.blocks - 1
+    # Eval circular padding: wrap once per chunk of stride-1 bottlenecks
+    # (each consumes 1 margin column/side; the mask rides along) instead
+    # of one feature + one mask pad copy per block. Chunk caps the extra
+    # conv width at ~12.5%.
+    wrap = self.circular_pad and not train and n_tail > 0
+    if wrap:
+      width = out.shape[2]
+      chunk = max(1, min(n_tail, width // 16))
+      i = 1
+      while i <= n_tail:
+        g = min(chunk, n_tail - i + 1)
+        out = wrap_width(out, g)
+        update_mask = wrap_width(update_mask, g)
+        for j in range(g):
+          out, update_mask = Bottleneck(
+              filters=self.planes, expansion=self.expansion,
+              circular_pad=self.circular_pad, spectral=self.spectral,
+              dtype=self.dtype, name=f'block{i + j}')(
+                  out, update_mask, train=train, prewrapped=True)
+        i += g
+    else:
+      for i in range(1, self.blocks):
+        out, update_mask = Bottleneck(
+            filters=self.planes, expansion=self.expansion,
+            circular_pad=self.circular_pad, spectral=self.spectral,
+            dtype=self.dtype, name=f'block{i}')(out, update_mask, train=train)
     return out, update_mask
 
 
@@ -520,11 +582,15 @@ class TransBasicBlock(nn.Module):
     return Conv2D(features, dtype=self.dtype, **kw)
 
   @nn.compact
-  def __call__(self, x, train: bool = False):
-    residual = x
+  def __call__(self, x, train: bool = False, prewrapped: bool = False):
+    # prewrapped: x carries a wrapped width margin (wrap_width); the two
+    # 3x3 convs consume one column per side each, and the residual is
+    # cropped to match. Only valid for the stride-1 (non-convt) shape.
+    assert not (prewrapped and self.strides != 1)
+    residual = x[:, :, 2:-2] if prewrapped else x
     out = self._conv(self.inplanes, kernel_size=3, strides=1, padding='VALID',
                      use_bias=False, fused_pad=1, circular=self.circular_pad,
-                     name='main_conv1')(x, train=train)
+                     name='main_conv1')(x, train=train, prewrapped=prewrapped)
     out = SyncBatchNorm(dtype=self.dtype, name='main_bn1')(out, train=train)
     out = nn.relu(out)
     if self.has_upsample and self.strides != 1:
@@ -535,7 +601,8 @@ class TransBasicBlock(nn.Module):
       out = self._conv(self.planes, kernel_size=3, strides=self.strides,
                        padding='VALID', use_bias=False, fused_pad=1,
                        circular=self.circular_pad,
-                       name='main_conv2')(out, train=train)
+                       name='main_conv2')(out, train=train,
+                                          prewrapped=prewrapped)
     out = SyncBatchNorm(dtype=self.dtype, name='main_bn2')(out, train=train)
 
     if self.has_upsample:
@@ -546,7 +613,8 @@ class TransBasicBlock(nn.Module):
                                    name='up_convt')(x)
       else:
         residual = self._conv(self.planes, kernel_size=1, strides=self.strides,
-                              use_bias=False, name='up_conv')(x, train=train)
+                              use_bias=False, name='up_conv')(residual,
+                                                              train=train)
       residual = SyncBatchNorm(dtype=self.dtype, name='up_bn')(residual,
                                                                train=train)
     out = out + residual
@@ -568,11 +636,31 @@ class ResStackTranspose(nn.Module):
   def __call__(self, x, train: bool = False):
     has_upsample = self.strides != 1 or self.inplanes != self.planes
     out = x
-    for i in range(self.blocks - 1):
-      out = TransBasicBlock(
-          inplanes=self.inplanes, planes=self.inplanes,
-          circular_pad=self.circular_pad, spectral=self.spectral,
-          dtype=self.dtype, name=f'block{i}')(out, train=train)
+    n_stride1 = self.blocks - 1
+    # Eval circular padding: wrap once per chunk of stride-1 blocks (each
+    # consumes 2 margin columns/side) instead of 2 pad copies per block.
+    # Chunk size caps the extra conv width at ~12.5% of the pano width.
+    wrap = self.circular_pad and not train and n_stride1 > 0
+    if wrap:
+      width = x.shape[2]
+      chunk = max(1, min(n_stride1, width // 32))
+      i = 0
+      while i < n_stride1:
+        g = min(chunk, n_stride1 - i)
+        out = wrap_width(out, 2 * g)
+        for j in range(g):
+          out = TransBasicBlock(
+              inplanes=self.inplanes, planes=self.inplanes,
+              circular_pad=self.circular_pad, spectral=self.spectral,
+              dtype=self.dtype, name=f'block{i + j}')(out, train=train,
+                                                      prewrapped=True)
+        i += g
+    else:
+      for i in range(n_stride1):
+        out = TransBasicBlock(
+            inplanes=self.inplanes, planes=self.inplanes,
+            circular_pad=self.circular_pad, spectral=self.spectral,
+            dtype=self.dtype, name=f'block{i}')(out, train=train)
     out = TransBasicBlock(
         inplanes=self.inplanes, planes=self.planes, strides=self.strides,
         has_upsample=has_upsample, circular_pad=self.circular_pad,

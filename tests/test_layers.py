@@ -159,3 +159,126 @@ def test_circular_conv2d_matches_pad_then_valid(k, s, train):
     got = layers.circular_conv2d(x, kern, s, p, circular=True, train=train,
                                  border_fixup=fixup)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_wrap_once_chain_matches_per_conv_circular_pads():
+  """wrap_width(m) + m prewrapped convs == m circular pad+VALID convs,
+  bit-equal, including interleaved elementwise nonlinearities (the
+  OutputHead/GlobalContext eval fast path)."""
+  rng = np.random.RandomState(3)
+  x = jnp.asarray(rng.randn(2, 8, 16, 4).astype(np.float32))
+  kernels = [jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32) * 0.2)
+             for _ in range(3)]
+
+  ref = x
+  for k in kernels:
+    ref = layers.circular_conv2d(ref, k, 1, pad=1, circular=True,
+                                 train=False)
+    ref = jax.nn.leaky_relu(ref, 0.3)
+
+  out = layers.wrap_width(x, 3)
+  for k in kernels:
+    out = layers.circular_conv2d(out, k, 1, pad=1, circular=True,
+                                 train=False, prewrapped=True)
+    out = jax.nn.leaky_relu(out, 0.3)
+
+  assert out.shape == ref.shape
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_output_head_eval_width_preserved():
+  """OutputHead's wrap-once eval path returns the unwrapped width."""
+  from se3ds_tpu.models import generator as gen_lib
+  head = gen_lib.OutputHead(hidden_dims=4, out_channels=3,
+                            circular_pad=True)
+  x = jnp.ones((1, 8, 16, 4))
+  v = head.init(jax.random.PRNGKey(0), x, train=False)
+  out_eval = head.apply(v, x, train=False)
+  out_train = head.apply(v, x, train=True,
+                         mutable=['batch_stats', 'spectral'])[0]
+  assert out_eval.shape == (1, 8, 16, 3)
+  assert out_train.shape == (1, 8, 16, 3)
+
+
+def test_wrap_once_margin_wider_than_pano():
+  """Chains longer than the pano width (tiny bottlenecks) still match
+  per-conv circular pads — the mod-gather path."""
+  rng = np.random.RandomState(4)
+  x = jnp.asarray(rng.randn(1, 2, 2, 3).astype(np.float32))
+  kernels = [jnp.asarray(rng.randn(3, 3, 3, 3).astype(np.float32) * 0.2)
+             for _ in range(4)]
+  ref = x
+  for k in kernels:
+    ref = layers.circular_conv2d(ref, k, 1, pad=1, circular=True,
+                                 train=False)
+  out = layers.wrap_width(x, 4)
+  for k in kernels:
+    out = layers.circular_conv2d(out, k, 1, pad=1, circular=True,
+                                 train=False, prewrapped=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_trans_basic_block_prewrapped_matches_circular():
+  """Stride-1 TransBasicBlock on a wrapped input (prewrapped=True) equals
+  the per-conv circular-pad path, bit-equal."""
+  block = layers.TransBasicBlock(inplanes=6, planes=6, circular_pad=True)
+  rng = np.random.RandomState(5)
+  x = jnp.asarray(rng.randn(2, 8, 16, 6).astype(np.float32))
+  v = block.init(jax.random.PRNGKey(0), x, train=False)
+  ref = block.apply(v, x, train=False)
+  out = block.apply(v, layers.wrap_width(x, 2), train=False, prewrapped=True)
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_res_stack_transpose_wrap_chunks_match_blockwise():
+  """ResStackTranspose's chunked wrap-once eval path equals chaining the
+  same blocks with per-conv circular pads (same params)."""
+  stack = layers.ResStackTranspose(inplanes=6, planes=6, blocks=3,
+                                   strides=1, circular_pad=True)
+  rng = np.random.RandomState(6)
+  # Width 16 < 32 -> chunk 1, exercising the re-wrap-every-block path;
+  # width 72 >= 64 -> chunk 2, exercising multi-block chunks.
+  for width in (16, 72):
+    x = jnp.asarray(rng.randn(1, 8, width, 6).astype(np.float32))
+    v = stack.init(jax.random.PRNGKey(1), x, train=False)
+    out = stack.apply(v, x, train=False)
+
+    def block_vars(i):
+      return {c: {'__d': v[c][f'block{i}']}['__d'] for c in v
+              if f'block{i}' in v[c]}
+
+    ref = x
+    for i in range(2):
+      blk = layers.TransBasicBlock(inplanes=6, planes=6, circular_pad=True)
+      ref = blk.apply(block_vars(i), ref, train=False)
+    last = layers.TransBasicBlock(inplanes=6, planes=6, strides=1,
+                                  has_upsample=False, circular_pad=True)
+    ref = last.apply(block_vars(2), ref, train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_res_stack_wrap_chunks_match_blockwise():
+  """ResStack's chunked wrap-once eval path (features AND mask) equals
+  chaining the same bottlenecks with per-conv circular pads."""
+  stack = layers.ResStack(inplanes=8, planes=2, blocks=3, strides=1,
+                          circular_pad=True)
+  rng = np.random.RandomState(8)
+  for width in (16, 72):
+    x = jnp.asarray(rng.randn(1, 8, width, 8).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.rand(1, 8, width, 1) > 0.3).astype(np.float32))
+    v = stack.init(jax.random.PRNGKey(2), x, mask, train=False)
+    out, out_mask = stack.apply(v, x, mask, train=False)
+
+    def block_vars(i):
+      return {c: v[c][f'block{i}'] for c in v if f'block{i}' in v[c]}
+
+    ref, ref_mask = layers.Bottleneck(
+        filters=2, strides=1, has_downsample=False,
+        circular_pad=True).apply(block_vars(0), x, mask, train=False)
+    for i in (1, 2):
+      ref, ref_mask = layers.Bottleneck(
+          filters=2, circular_pad=True).apply(block_vars(i), ref, ref_mask,
+                                              train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ref_mask))
