@@ -44,6 +44,7 @@ class ResNetEncoder(nn.Module):
   resnet_version: str = '50'
   circular_pad: bool = False
   spectral: bool = True  # conv_fn == SpectralConv in the reference generator
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -57,7 +58,7 @@ class ResNetEncoder(nn.Module):
 
     out, update_mask = layers.PartialConv(
         h, kernel_size=7, strides=2, padding='VALID', fused_pad=3,
-        circular=self.circular_pad, dtype=self.dtype,
+        circular=self.circular_pad, fold=self.fold, dtype=self.dtype,
         name='conv1')(x, mask, train=train)
     out = layers.SyncBatchNorm(dtype=self.dtype, name='act1_bn')(out,
                                                                  train=train)
@@ -66,7 +67,8 @@ class ResNetEncoder(nn.Module):
     out = layers.max_pool_2x2_same(out)
     update_mask = layers.max_pool_2x2_same(update_mask)
     stack = functools.partial(layers.ResStack, circular_pad=self.circular_pad,
-                              spectral=self.spectral, dtype=self.dtype)
+                              spectral=self.spectral, fold=self.fold,
+                              dtype=self.dtype)
     out, update_mask = stack(h, h, filters[0], name='stack1')(
         out, update_mask, train=train)
     s1 = out
@@ -80,7 +82,7 @@ class ResNetEncoder(nn.Module):
                              name='stack4')(out, update_mask, train=train)
     out, update_mask = layers.PartialConv(
         h * 4, kernel_size=3, strides=1, padding='VALID', fused_pad=1,
-        circular=self.circular_pad, dtype=self.dtype,
+        circular=self.circular_pad, fold=self.fold, dtype=self.dtype,
         name='final_conv')(out, update_mask, train=train)
     out = layers.SyncBatchNorm(dtype=self.dtype, name='final_bn')(out,
                                                                   train=train)
@@ -97,18 +99,19 @@ class ResNetDecoder(nn.Module):
   circular_pad: bool = False
   partial_conv: bool = True
   spectral: bool = True
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   def _agent(self, features, name):
     if self.partial_conv:
       return layers.PartialConv(features, kernel_size=1, strides=1,
                                 padding='SAME', use_bias=False,
-                                spectral_norm=self.spectral, dtype=self.dtype,
-                                name=name)
+                                spectral_norm=self.spectral, fold=self.fold,
+                                dtype=self.dtype, name=name)
     if self.spectral:
       return layers.SpectralConv(features, kernel_size=1, strides=1,
                                  padding='SAME', use_bias=False,
-                                 dtype=self.dtype, name=name)
+                                 fold=self.fold, dtype=self.dtype, name=name)
     return layers.Conv2D(features, kernel_size=1, strides=1, padding='SAME',
                          use_bias=False, dtype=self.dtype, name=name)
 
@@ -130,7 +133,8 @@ class ResNetDecoder(nn.Module):
     if masks is None:
       masks = [None] * len(skip)
 
-    conv = (layers.SpectralConv if self.spectral else layers.Conv2D)
+    conv = (functools.partial(layers.SpectralConv, fold=self.fold)
+            if self.spectral else layers.Conv2D)
     # upc (flatten_output=False branch, image_models.py:374-379).
     out = conv(h * 2, kernel_size=1, strides=1, padding='SAME',
                dtype=self.dtype, name='upc_conv')(x, train=train)
@@ -146,7 +150,8 @@ class ResNetDecoder(nn.Module):
 
     stack_t = functools.partial(layers.ResStackTranspose,
                                 circular_pad=self.circular_pad,
-                                spectral=self.spectral, dtype=self.dtype)
+                                spectral=self.spectral, fold=self.fold,
+                                dtype=self.dtype)
     out = stack_t(h * 8, h * 4, filters[0], strides=1,
                   name='deconv1')(out, train=train)
     shortcut = self._apply_agent(self._agent(h * 4, 'agent3'), skip[3],
@@ -200,11 +205,13 @@ class OutputHead(nn.Module):
   out_channels: int
   circular_pad: bool
   spectral: bool = True
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x, train: bool = False):
-    conv = (layers.SpectralConv if self.spectral else layers.Conv2D)
+    conv = (functools.partial(layers.SpectralConv, fold=self.fold)
+            if self.spectral else layers.Conv2D)
     # Eval circular padding: ONE wrapped-margin copy feeds the whole
     # 3-conv chain (wrap_width commutes with circular conv; BN/LeakyReLU
     # are elementwise), bit-equal to per-conv circular pads but without
@@ -230,6 +237,7 @@ class GlobalContext(nn.Module):
   """4-layer spectral-conv context stack (image_models.py:106-128)."""
   hidden_dims: int
   circular_pad: bool
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -244,7 +252,8 @@ class GlobalContext(nn.Module):
                                                                   train=train)
       out = layers.SpectralConv(features, kernel_size=3, strides=1,
                                 padding='VALID', fused_pad=1,
-                                circular=self.circular_pad, dtype=self.dtype,
+                                circular=self.circular_pad, fold=self.fold,
+                                dtype=self.dtype,
                                 name=f'conv{i}')(out, train=train,
                                                  prewrapped=wrap)
       if act:
@@ -272,6 +281,9 @@ class ResNetGenerator(nn.Module):
   context_layer: str = 'convs'
   conv_mode: str = 'spectral'
   use_blurred_mask: bool = True
+  # Eval-only: kernels pre-normalised at load (models/folding.py); skips
+  # the per-forward spectral re-normalisation pass over every weight.
+  spectral_fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -298,14 +310,14 @@ class ResNetGenerator(nn.Module):
     hidden, skip = ResNetEncoder(
         image_size=self.image_size, hidden_dims=h,
         resnet_version=self.resnet_version, circular_pad=circular_pad,
-        spectral=spectral, dtype=self.dtype,
+        spectral=spectral, fold=self.spectral_fold, dtype=self.dtype,
         name='encoder')(combined, guidance_mask.astype(self.dtype),
                         train=train)
     batch_size, hidden_h, hidden_w, _ = hidden.shape
 
     if self.context_layer == 'convs':
       hidden = GlobalContext(hidden_dims=h, circular_pad=circular_pad,
-                             dtype=self.dtype,
+                             fold=self.spectral_fold, dtype=self.dtype,
                              name='global_context')(hidden, train=train)
 
     zeros_latent = jnp.zeros((batch_size, hidden_h, hidden_w, self.z_dim),
@@ -317,7 +329,8 @@ class ResNetGenerator(nn.Module):
     decoder = functools.partial(
         ResNetDecoder, output_dim=h, image_size=self.image_size,
         hidden_dims=h, resnet_version=self.resnet_version,
-        circular_pad=circular_pad, spectral=spectral, dtype=self.dtype)
+        circular_pad=circular_pad, spectral=spectral,
+        fold=self.spectral_fold, dtype=self.dtype)
     out = decoder(name='decoder')(hidden, skip, train=train)
     depth_out = decoder(name='depth_decoder')(hidden, skip, train=train)
 
@@ -325,9 +338,11 @@ class ResNetGenerator(nn.Module):
         guidance_depth.shape[:-1] + (constants.NUM_MP3D_CLASSES,),
         guidance_depth.dtype)
     depth_seg_out = jnp.zeros_like(seg_out)
-    rgb_out = OutputHead(h, 3, circular_pad, spectral, dtype=self.dtype,
+    rgb_out = OutputHead(h, 3, circular_pad, spectral,
+                         fold=self.spectral_fold, dtype=self.dtype,
                          name='rgb_conv')(out, train=train)
-    depth_out = OutputHead(h, 1, circular_pad, spectral, dtype=self.dtype,
+    depth_out = OutputHead(h, 1, circular_pad, spectral,
+                           fold=self.spectral_fold, dtype=self.dtype,
                            name='depth_conv')(depth_out, train=train)
 
     rgb_out = jnp.tanh(rgb_out.astype(jnp.float32))

@@ -196,6 +196,25 @@ class SE3DSModel:
       self.variables = self.model.init(rng, cond, train=False)
       print('Initializing SE3DS model from scratch.')
 
+    if config.fold_spectral and 'spectral' in self.variables:
+      # Fold sigma into the kernels once (bitwise-equal at eval) and
+      # pre-cast conv kernels to the compute dtype — skips ~2 full
+      # passes over every weight per forward (models/folding.py).
+      from se3ds_tpu.models import folding  # lazy import
+      cond = {
+          'proj_image': jnp.zeros((1, self.height, self.width, 3)),
+          'proj_depth': jnp.zeros((1, self.height, self.width, 1)),
+          'proj_mask': jnp.zeros((1, self.height, self.width, 1)),
+          'blurred_mask': jnp.zeros((1, self.height, self.width, 1)),
+      }
+      self.variables = folding.fold_spectral_variables(
+          self.model, self.variables, cond, cast_dtype=dtype)
+      self.model = generator_lib.ResNetGenerator(
+          image_size=config.image_height,
+          resnet_version=config.resnet_version, gen_dims=config.gen_dims,
+          use_blurred_mask=config.use_blurred_mask, dtype=dtype,
+          spectral_fold=True)
+
     self.prev_rgb_frame = None
     self._jit_add = jax.jit(functools.partial(
         memory_add_pano, depth_scale=self.depth_scale),

@@ -224,6 +224,7 @@ class SpectralConv(nn.Module):
   activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
   fused_pad: int = 0
   circular: bool = False
+  fold: bool = False  # kernel pre-normalised at load (models/folding.py)
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -233,15 +234,22 @@ class SpectralConv(nn.Module):
     in_ch = x.shape[-1]
     kernel = self.param('kernel', conv_kernel_init,
                         (kh, kw, in_ch, self.features))
-    u = self.variable(
-        'spectral', 'u',
-        lambda: u_init(self.make_rng('params'), (1, self.features),
-                       jnp.float32))
-    w_flat = kernel.reshape(-1, self.features)
-    w_norm, u_hat, _ = spectral_normalize(w_flat, u.value)
-    if train and not self.is_initializing():
-      u.value = u_hat
-    w_norm = w_norm.reshape(kernel.shape)
+    if self.fold:
+      # Inference fast path: sigma is constant at eval, so the kernel was
+      # divided once at load time (fold_spectral_variables) — skipping a
+      # full re-normalisation pass over every weight per forward.
+      assert not train, 'folded spectral norm is eval-only'
+      w_norm = kernel
+    else:
+      u = self.variable(
+          'spectral', 'u',
+          lambda: u_init(self.make_rng('params'), (1, self.features),
+                         jnp.float32))
+      w_flat = kernel.reshape(-1, self.features)
+      w_norm, u_hat, _ = spectral_normalize(w_flat, u.value)
+      if train and not self.is_initializing():
+        u.value = u_hat
+      w_norm = w_norm.reshape(kernel.shape)
     if self.fused_pad:
       out = circular_conv2d(x.astype(self.dtype), w_norm.astype(self.dtype),
                             self.strides, self.fused_pad, self.circular,
@@ -273,6 +281,7 @@ class PartialConv(nn.Module):
   activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
   fused_pad: int = 0
   circular: bool = False
+  fold: bool = False  # eval-only: skip the inert u maintenance entirely
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -305,7 +314,7 @@ class PartialConv(nn.Module):
     update_mask = jax.lax.stop_gradient(update_mask)
     mask_ratio = jax.lax.stop_gradient(mask_ratio)
 
-    if self.spectral_norm:
+    if self.spectral_norm and not self.fold:
       u = self.variable(
           'spectral', 'u',
           lambda: u_init(self.make_rng('params'), (1, self.features),
@@ -314,7 +323,8 @@ class PartialConv(nn.Module):
       _, u_hat, _ = spectral_normalize(w_flat, u.value)
       if train and not self.is_initializing():
         u.value = u_hat
-      # Reference bug preserved: the normalised kernel is NOT used below.
+      # Reference bug preserved: the normalised kernel is NOT used below
+      # — which also makes skipping this block under `fold` (eval) exact.
 
     out = feature * mask
     if self.fused_pad:
@@ -477,6 +487,7 @@ class Bottleneck(nn.Module):
   has_downsample: bool = False
   circular_pad: bool = False
   spectral: bool = False  # selects PartialSpectralConv vs PartialConv
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -486,7 +497,7 @@ class Bottleneck(nn.Module):
     # only 3x3) consumes one column per side, the residual is cropped.
     assert not (prewrapped and (self.strides != 1 or self.has_downsample))
     partial = functools.partial(PartialConv, spectral_norm=self.spectral,
-                                dtype=self.dtype)
+                                fold=self.fold, dtype=self.dtype)
     residual = x[:, :, 1:-1] if prewrapped else x
     out, update_mask = partial(self.filters, kernel_size=1, strides=1,
                                padding='SAME', name='conv1')(x, mask,
@@ -525,6 +536,7 @@ class ResStack(nn.Module):
   expansion: int = 4
   circular_pad: bool = False
   spectral: bool = False
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -534,7 +546,7 @@ class ResStack(nn.Module):
     out, update_mask = Bottleneck(
         filters=self.planes, strides=self.strides, expansion=self.expansion,
         has_downsample=has_downsample, circular_pad=self.circular_pad,
-        spectral=self.spectral, dtype=self.dtype,
+        spectral=self.spectral, fold=self.fold, dtype=self.dtype,
         name='block0')(x, mask, train=train)
     n_tail = self.blocks - 1
     # Eval circular padding: wrap once per chunk of stride-1 bottlenecks
@@ -554,7 +566,7 @@ class ResStack(nn.Module):
           out, update_mask = Bottleneck(
               filters=self.planes, expansion=self.expansion,
               circular_pad=self.circular_pad, spectral=self.spectral,
-              dtype=self.dtype, name=f'block{i + j}')(
+              fold=self.fold, dtype=self.dtype, name=f'block{i + j}')(
                   out, update_mask, train=train, prewrapped=True)
         i += g
     else:
@@ -562,7 +574,7 @@ class ResStack(nn.Module):
         out, update_mask = Bottleneck(
             filters=self.planes, expansion=self.expansion,
             circular_pad=self.circular_pad, spectral=self.spectral,
-            dtype=self.dtype, name=f'block{i}')(out, update_mask, train=train)
+            fold=self.fold, dtype=self.dtype, name=f'block{i}')(out, update_mask, train=train)
     return out, update_mask
 
 
@@ -574,11 +586,12 @@ class TransBasicBlock(nn.Module):
   has_upsample: bool = False
   circular_pad: bool = False
   spectral: bool = False  # conv_fn == SpectralConv in the reference
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   def _conv(self, features, **kw):
     if self.spectral:
-      return SpectralConv(features, dtype=self.dtype, **kw)
+      return SpectralConv(features, fold=self.fold, dtype=self.dtype, **kw)
     return Conv2D(features, dtype=self.dtype, **kw)
 
   @nn.compact
@@ -630,6 +643,7 @@ class ResStackTranspose(nn.Module):
   strides: int = 1
   circular_pad: bool = False
   spectral: bool = False
+  fold: bool = False
   dtype: Dtype = jnp.float32
 
   @nn.compact
@@ -652,7 +666,7 @@ class ResStackTranspose(nn.Module):
           out = TransBasicBlock(
               inplanes=self.inplanes, planes=self.inplanes,
               circular_pad=self.circular_pad, spectral=self.spectral,
-              dtype=self.dtype, name=f'block{i + j}')(out, train=train,
+              fold=self.fold, dtype=self.dtype, name=f'block{i + j}')(out, train=train,
                                                       prewrapped=True)
         i += g
     else:
@@ -660,10 +674,10 @@ class ResStackTranspose(nn.Module):
         out = TransBasicBlock(
             inplanes=self.inplanes, planes=self.inplanes,
             circular_pad=self.circular_pad, spectral=self.spectral,
-            dtype=self.dtype, name=f'block{i}')(out, train=train)
+            fold=self.fold, dtype=self.dtype, name=f'block{i}')(out, train=train)
     out = TransBasicBlock(
         inplanes=self.inplanes, planes=self.planes, strides=self.strides,
         has_upsample=has_upsample, circular_pad=self.circular_pad,
-        spectral=self.spectral, dtype=self.dtype,
+        spectral=self.spectral, fold=self.fold, dtype=self.dtype,
         name=f'block{self.blocks - 1}')(out, train=train)
     return out

@@ -25,6 +25,9 @@ class SE3DSConfig:
   memory_frames: int = constants.PANO_VIDEO_LENGTH  # memory capacity in frames
   compute_dtype: str = 'float32'  # 'bfloat16' for faster inference
   splat_mode: str = 'fast'  # 'scatter'|'sorted'|'fast' (see ops/splat.py)
+  # Fold spectral norms into kernels once at load (bitwise-equal at eval,
+  # models/folding.py) instead of re-normalising every weight per forward.
+  fold_spectral: bool = True
 
 
 def get_config() -> SE3DSConfig:
