@@ -136,9 +136,104 @@ def bench_train():
   print(json.dumps(result))
 
 
+def bench_eval():
+  """FID-eval rollout throughput: autoregressive memory/splat/generate
+  loop + on-device Inception pooling (the continuous-eval hot path,
+  reference eval_metric.py:144-252), exact 'sorted' splat, lowres shapes.
+
+  Env: SE3DS_BENCH_SIZE (default 128), SE3DS_BENCH_BATCH (default 8),
+  SE3DS_BENCH_FRAMES (eval_seq_len, default 5), SE3DS_BENCH_GENDIMS
+  (default 128), SE3DS_BENCH_ITERS (default 3).
+  """
+  import functools
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from se3ds_tpu.eval import inception as inception_lib
+  from se3ds_tpu.eval import metrics as metrics_lib
+  from se3ds_tpu.models import generator as gen_lib
+
+  size = int(os.environ.get('SE3DS_BENCH_SIZE', 128))
+  batch = int(os.environ.get('SE3DS_BENCH_BATCH', 8))
+  seq_len = int(os.environ.get('SE3DS_BENCH_FRAMES', 5))
+  gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 128))
+  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 3))
+  dtype = (jnp.bfloat16 if os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
+           == 'bfloat16' else jnp.float32)
+  h, w = size, size * 2
+
+  model = gen_lib.ResNetGenerator(image_size=size, gen_dims=gen_dims,
+                                  resnet_version='101', dtype=dtype)
+  cond = {
+      'proj_image': jnp.zeros((batch, h, w, 3)),
+      'proj_depth': jnp.zeros((batch, h, w, 1)),
+      'proj_mask': jnp.ones((batch, h, w, 1)),
+      'blurred_mask': jnp.zeros((batch, h, w, 1)),
+  }
+  variables = model.init(jax.random.PRNGKey(0), cond, train=False)
+  inception_vars = inception_lib.init_variables()
+
+  def generator_apply(v, c):
+    full = dict(c)
+    full.setdefault('blurred_mask', jnp.zeros_like(c['proj_mask']))
+    return model.apply(v, full, train=False)
+
+  rng = np.random.RandomState(0)
+  video = {
+      'image': jnp.asarray(
+          rng.rand(batch, seq_len, h, w, 3).astype(np.float32)),
+      'depth': jnp.asarray(
+          rng.uniform(0.05, 0.9,
+                      (batch, seq_len, h, w, 1)).astype(np.float32)),
+      'position': jnp.asarray(
+          rng.uniform(-1, 1, (batch, seq_len, 4)).astype(np.float32)
+          * np.array([1, 1, 0.1, 0])),
+  }
+
+  @jax.jit
+  def eval_step(v, batch_in, key):
+    generated, rmse = metrics_lib.rollout_generated(
+        generator_apply, v, batch_in, seq_len, 20.0, True,
+        splat_mode='sorted')
+    keys = jax.random.split(key, seq_len)
+    pools = {}
+    for i in range(1, seq_len):
+      aug = metrics_lib._augment_crop_for_inception(generated[i], keys[i])
+      pools[i], _ = inception_lib.get_inception(aug, inception_vars)
+    return pools, rmse
+
+  pools, rmse = eval_step(variables, video, jax.random.PRNGKey(1))
+  _ = np.asarray(pools[1][0, :2])
+  t0 = time.perf_counter()
+  _ = np.asarray(pools[1][0, :2])
+  fetch_latency = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    pools, rmse = eval_step(variables, video, jax.random.PRNGKey(2))
+  _ = np.asarray(pools[1][0, :2])
+  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  frames_per_sec = iters * batch * seq_len / elapsed
+  result = {
+      'metric': (f'{w}x{h} eval-rollout frames/sec/chip (sorted splat + '
+                 f'Inception pools, T={seq_len}, batch {batch})'),
+      'value': round(frames_per_sec, 4),
+      'unit': 'frames/sec',
+      # Each rollout frame is one guidance splat + generator forward,
+      # same anchor as inference mode (2 frames/sec GPU estimate),
+      # though at lowres eval resolution.
+      'vs_baseline': round(frames_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),
+  }
+  print(json.dumps(result))
+
+
 def main():
-  if os.environ.get('SE3DS_BENCH_MODE', 'inference') == 'train':
+  mode = os.environ.get('SE3DS_BENCH_MODE', 'inference')
+  if mode == 'train':
     bench_train()
+    return
+  if mode == 'eval':
+    bench_eval()
     return
   import jax
   import jax.numpy as jnp

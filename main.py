@@ -30,13 +30,23 @@ def main():
   parser.add_argument('--use_tpu', action='store_true',
                       help='Kept for surface parity; device selection is '
                            'automatic under JAX.')
+  parser.add_argument('--platform', default='auto',
+                      choices=['auto', 'cpu', 'tpu'],
+                      help='Force a JAX platform (the TPU-native analogue '
+                           'of the reference strategy pick, main.py:48-63). '
+                           '"auto" uses whatever JAX finds.')
   args = parser.parse_args()
 
   logging.basicConfig(level=logging.INFO)
 
+  import jax
+  if args.platform != 'auto':
+    # Must happen before the backend initialises; env vars alone are
+    # ignored by some site configurations (see tests/conftest.py).
+    jax.config.update('jax_platforms', args.platform)
+
   from se3ds_tpu import config as config_lib
   from se3ds_tpu.train import trainer as trainer_lib
-  import jax
 
   config_lib.parse_config_files_and_bindings(args.gin_config,
                                              args.gin_bindings)
