@@ -25,6 +25,21 @@ from se3ds_tpu.models import model_config
 from se3ds_tpu.ops import geometry
 
 
+class PanoData(NamedTuple):
+  """Data corresponding to a Matterport3D panorama
+  (reference models.py:26-39).
+
+  position: (3,) float xyz coordinates.
+  rgb: (H, W, 3) int32 RGB panorama.
+  semantic: (H, W) int32 semantic segmentation panorama.
+  depth: (H, W) float32 depth in [0, 1].
+  """
+  position: jnp.ndarray
+  rgb: jnp.ndarray
+  semantic: jnp.ndarray
+  depth: jnp.ndarray
+
+
 class MemoryState(NamedTuple):
   """Fixed-capacity point-cloud memory.
 

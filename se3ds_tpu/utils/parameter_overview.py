@@ -27,6 +27,19 @@ def count_parameters(params) -> int:
              for v in jax.tree_util.tree_leaves(params))
 
 
+def get_params(params):
+  """Returns (names, values) for a parameter tree, sorted by name
+  (reference parameter_overview.py:50-54, which sorts a tf.Module's
+  trainable variables; here any pytree / nested dict works)."""
+  if isinstance(params, dict):
+    flat = flatten_dict(params)
+  else:
+    flat = {str(i): v for i, v in
+            enumerate(jax.tree_util.tree_leaves(params))}
+  names = sorted(flat)
+  return names, [np.asarray(flat[n]) for n in names]
+
+
 def get_parameter_overview(params, include_stats: bool = True,
                            max_lines: Optional[int] = None) -> str:
   """ASCII table of name/shape/size[/mean/std] + total count."""
