@@ -8,6 +8,11 @@ inpaints -> extract perspective view.
 
 import argparse
 import os
+import sys
+
+# Runnable as `python examples/<demo>.py` from anywhere: put the repo
+# root (the parent of examples/) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
