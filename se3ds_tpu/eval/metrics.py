@@ -96,9 +96,14 @@ def rollout_generated(generator_apply: Callable,
       depth_tensor = batch['depth'][:, frame_idx]
 
     relative_position = batch['position'][:, frame_idx]
-    relative_coords = memory_coords - relative_position[..., None]
+    # Live-extent splat: only frame_idx frames have been written; the
+    # tail of the capacity buffer is void (splat-skipped), so slicing it
+    # off is exact and keeps splat cost proportional to frames-so-far.
+    extent = max(1, frame_idx) * height * width
+    relative_coords = (memory_coords[:, :, :extent]
+                       - relative_position[..., None])
     pred_depth, pred_rgb = geometry.project_feats_to_equirectangular(
-        memory_feats, relative_coords, height, width,
+        memory_feats[:, :extent], relative_coords, height, width,
         void_class=constants.INVALID_RGB_VALUE, depth_scale=depth_scale,
         splat_mode=splat_mode)
     pred_mask = ((pred_depth > 0) & (pred_depth < 1)

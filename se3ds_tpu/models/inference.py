@@ -234,19 +234,25 @@ class SE3DSModel:
     self._jit_add = jax.jit(functools.partial(
         memory_add_pano, depth_scale=self.depth_scale),
         static_argnames=('mask_blurred',))
-    self._jit_call = jax.jit(self._forward)
+    self._jit_call = jax.jit(self._forward, static_argnames=('num_frames',))
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
 
   def reset_memory(self):
     self._memory = init_memory(self.batch_size, self.capacity)
+    self._frames_written = 0
 
   def get_memory_state(self) -> MemoryState:
     return self._memory
 
   def set_memory_state(self, state: MemoryState):
     self._memory = state
+    # Recover the live extent from the cursor (host fetch; non-hot path).
+    frame_points = self.height * self.width
+    self._frames_written = min(
+        self.config.memory_frames,
+        -(-int(np.asarray(state.cursor)) // frame_points))
 
   def write_memory_as_pointcloud(self, filename: str):
     """Writes valid RGB memory points of batch 0 to an ASCII .ply file."""
@@ -281,13 +287,29 @@ class SE3DSModel:
         self._memory, pano_rgb, jnp.asarray(pano_semantic),
         jnp.asarray(pano_depth), jnp.asarray(position),
         mask_blurred=mask_blurred)
+    self._frames_written = min(self.config.memory_frames,
+                               self._frames_written + 1)
 
   # -- forward --------------------------------------------------------------
 
   def _forward(self, variables, memory: MemoryState, prev_rgb_frame,
-               position):
+               position, num_frames: int):
+    # Live-extent splat: only `num_frames` frames of memory have ever
+    # been written (host-side counter); the remaining capacity is void
+    # slots the splat would skip anyway, so slicing them off is exact
+    # and makes splat cost proportional to frames-so-far instead of
+    # full capacity. `num_frames` is static (one compile per distinct
+    # frame count, <= memory_frames).
+    extent = max(1, min(num_frames, self.config.memory_frames))
+    extent *= self.height * self.width
+    live = MemoryState(
+        coords=memory.coords[:, :, :extent],
+        feats=memory.feats[:, :extent],
+        rgb_coords=memory.rgb_coords[:, :, :extent],
+        rgb=memory.rgb[:, :extent],
+        cursor=memory.cursor)
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
-        memory, position, self.height, self.width, self.depth_scale,
+        live, position, self.height, self.width, self.depth_scale,
         splat_mode=self.config.splat_mode)
     proj_semantic_img = proj_semantic[..., 0]
     proj_rgb_norm = jnp.clip(proj_rgb / 255.0, 0.0, 1.0)
@@ -330,7 +352,7 @@ class SE3DSModel:
     position = jnp.asarray(position, jnp.float32)
     assert self.prev_rgb_frame is not None
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
-                         position)
+                         position, num_frames=self._frames_written)
 
     pred_rgb = out['pred_rgb']
     pred_semantic = out['pred_semantic']
@@ -350,6 +372,8 @@ class SE3DSModel:
       self._memory = self._jit_add(
           self._memory, pred_rgb_mem, pred_semantic_mem[..., None],
           pred_depth_mem, position, mask_blurred=True)
+      self._frames_written = min(self.config.memory_frames,
+                                 self._frames_written + 1)
 
     return OutputData(
         proj_semantic=out['proj_semantic'].astype(jnp.uint8),
