@@ -44,6 +44,10 @@ class GANHParams(NamedTuple):
   ema_init_step: int = 0
   num_batched_steps: int = 100
   grad_clip_norm: float = 5.0
+  # Rematerialise G/D forwards in the backward pass (jax.checkpoint):
+  # trades ~1 extra forward of FLOPs for dropping all intermediate
+  # activations from HBM — enables larger per-chip batches / widths.
+  remat: bool = False
 
 
 @struct.dataclass
@@ -90,23 +94,36 @@ def create_train_state(rng, generator, discriminator, sample_cond,
   )
 
 
-def _generator_forward(generator, params, state, inputs, train):
+def _generator_forward(generator, params, state, inputs, train,
+                       remat=False):
   variables = {'params': params, **state}
   if train:
-    outputs, new_state = generator.apply(
-        variables, inputs, train=True, mutable=['batch_stats', 'spectral'])
-    return outputs, dict(new_state)
+    def fwd(variables, inputs):
+      outputs, new_state = generator.apply(
+          variables, inputs, train=True, mutable=['batch_stats', 'spectral'])
+      return outputs, dict(new_state)
+    if remat:
+      fwd = jax.checkpoint(fwd)
+    return fwd(variables, inputs)
   return generator.apply(variables, inputs, train=False), state
 
 
-def _disc_forward(discriminator, params, state, x, train, mutate):
+def _disc_forward(discriminator, params, state, x, train, mutate,
+                  remat=False):
   variables = {'params': params, **state}
   if mutate:
-    out, new_state = discriminator.apply(
-        variables, x, train=train, mutable=['spectral'])
-    new_state = {**state, **dict(new_state)}
-    return out, new_state
-  return discriminator.apply(variables, x, train=train), state
+    def fwd(variables, x):
+      out, new_state = discriminator.apply(
+          variables, x, train=train, mutable=['spectral'])
+      return out, {**state, **dict(new_state)}
+    if remat:
+      fwd = jax.checkpoint(fwd)
+    return fwd(variables, x)
+  def fwd_pure(variables, x):
+    return discriminator.apply(variables, x, train=train)
+  if remat:
+    fwd_pure = jax.checkpoint(fwd_pure)
+  return fwd_pure(variables, x), state
 
 
 def _prepare_inputs(inputs: Dict[str, jnp.ndarray], hp: GANHParams):
@@ -143,7 +160,7 @@ def train_d_step(state: TrainState, inputs, *, generator, discriminator,
     all_input = _disc_pair_input(generated, depth_out, inputs, hp)
     logit_outputs, new_d_state = _disc_forward(
         discriminator, d_params, state.d_state, all_input, train=True,
-        mutate=True)
+        mutate=True, remat=hp.remat)
     fake_list, real_list = losses_lib.split_disc_outputs(logit_outputs)
     _, disc_loss = losses_lib.multiscale_gan_losses(fake_list, real_list)
     disc_loss = hp.lambda_gan * disc_loss
@@ -173,7 +190,8 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
 
   def gen_loss_fn(g_params):
     g_out, new_g_state = _generator_forward(
-        generator, g_params, state.g_state, inputs, train=True)
+        generator, g_params, state.g_state, inputs, train=True,
+        remat=hp.remat)
     mu, logvar, kld, depth_out, _, _, generated = g_out
 
     depth_loss = 0.0
@@ -197,7 +215,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
     all_input = _disc_pair_input(generated, depth_out, inputs, hp)
     logit_outputs, _ = _disc_forward(
         discriminator, state.d_params, state.d_state, all_input, train=False,
-        mutate=False)
+        mutate=False, remat=hp.remat)
     fake_list, real_list = losses_lib.split_disc_outputs(logit_outputs)
     gen_gan_loss, disc_loss = losses_lib.multiscale_gan_losses(
         fake_list, real_list)
@@ -226,7 +244,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
     all_input = _disc_pair_input(generated, depth_out, inputs, hp)
     logit_outputs, new_d_state = _disc_forward(
         discriminator, d_params, state.d_state, all_input, train=True,
-        mutate=True)
+        mutate=True, remat=hp.remat)
     fake_list, real_list = losses_lib.split_disc_outputs(logit_outputs)
     _, disc_loss = losses_lib.multiscale_gan_losses(fake_list, real_list)
     return hp.lambda_gan * disc_loss, new_d_state

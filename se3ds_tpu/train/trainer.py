@@ -107,6 +107,7 @@ class Trainer:
       eval_avg_num: int = 3,
       eval_splat_mode: str = 'sorted',
       shard_opt_state: bool = True,
+      remat: bool = False,
   ):
     self.model_dir = model_dir
     self.image_size = image_size
@@ -144,7 +145,8 @@ class Trainer:
         lambda_depth=lambda_depth, predict_depth=predict_depth,
         dis_use_pred_depth=dis_use_pred_depth, mask_blurred=mask_blurred,
         d_step_per_g_step=d_step_per_g_step, ema_decay=ema_decay,
-        ema_init_step=ema_init_step, num_batched_steps=num_batched_steps)
+        ema_init_step=ema_init_step, num_batched_steps=num_batched_steps,
+        remat=remat)
 
     if mesh is None:
       # Data-axis size must divide every sharded batch (train chunks use

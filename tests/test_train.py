@@ -249,3 +249,22 @@ def test_spatial_sharded_inference():
                              atol=2e-3)
   np.testing.assert_allclose(np.asarray(depth_sp), np.asarray(depth_ref),
                              atol=2e-3)
+
+
+def test_remat_train_step_matches(setup):
+  """hp.remat recomputes forwards in the backward pass; results must be
+  numerically identical to the stored-activation path."""
+  import functools
+  generator, discriminator, g_tx, d_tx, hp, batch, st, _step = setup
+  base = functools.partial(state_lib.train_step, generator=generator,
+                           discriminator=discriminator, g_tx=g_tx,
+                           d_tx=d_tx)
+  s1, m1 = jax.jit(functools.partial(base, hp=hp))(st, batch)
+  s2, m2 = jax.jit(functools.partial(
+      base, hp=hp._replace(remat=True)))(st, batch)
+  for k in m1:
+    np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                               rtol=1e-5, atol=1e-6)
+  g1 = jax.tree_util.tree_leaves(s1.g_params)[0]
+  g2 = jax.tree_util.tree_leaves(s2.g_params)[0]
+  np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
