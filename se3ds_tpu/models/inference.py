@@ -342,6 +342,13 @@ class SE3DSModel:
         pred_rgb=pred_rgb,
         pc_rgb=pc_rgb,
         generated_rgb=generated_rgb,
+        # uint8 views for OutputData, produced inside the jitted program:
+        # on relay backends every eager op outside jit is a separate
+        # device dispatch (~6 per frame otherwise).
+        proj_semantic_u8=proj_semantic_img.astype(jnp.uint8),
+        pred_semantic_u8=pred_semantic.astype(jnp.uint8),
+        proj_rgb_u8=(proj_rgb_norm * 255).astype(jnp.uint8),
+        pred_rgb_u8=jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8),
     )
 
   def __call__(self, position, add_preds_to_memory: bool = False,
@@ -354,20 +361,22 @@ class SE3DSModel:
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
                          position, num_frames=self._frames_written)
 
-    pred_rgb = out['pred_rgb']
-    pred_semantic = out['pred_semantic']
+    pred_rgb_u8 = out['pred_rgb_u8']
+    pred_semantic_u8 = out['pred_semantic_u8']
     pred_depth = out['pred_depth']
     generated_rgb = out['generated_rgb']
     if add_preds_to_memory:
       pred_rgb_mem = out['pc_rgb']
-      pred_semantic_mem = pred_semantic
-      pred_depth_mem = pred_depth
+      pred_semantic_mem = out['pred_semantic']
+      pred_depth_mem = out['pred_depth']
       if use_projected_rgb:
         pred_rgb = (out['proj_rgb'] * 255).astype(jnp.int32) + pred_rgb_mem
         pred_semantic = out['proj_semantic'] + pred_semantic_mem
         pred_depth = out['proj_depth'] + pred_depth_mem
         generated_rgb = (jnp.clip(pred_rgb_mem, 0, 255) / 255).astype(
             jnp.float32)
+        pred_rgb_u8 = jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8)
+        pred_semantic_u8 = pred_semantic.astype(jnp.uint8)
       self.prev_rgb_frame = generated_rgb
       self._memory = self._jit_add(
           self._memory, pred_rgb_mem, pred_semantic_mem[..., None],
@@ -376,10 +385,10 @@ class SE3DSModel:
                                  self._frames_written + 1)
 
     return OutputData(
-        proj_semantic=out['proj_semantic'].astype(jnp.uint8),
-        pred_semantic=pred_semantic.astype(jnp.uint8),
-        proj_rgb=(out['proj_rgb'] * 255).astype(jnp.uint8),
-        pred_rgb=jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8),
+        proj_semantic=out['proj_semantic_u8'],
+        pred_semantic=pred_semantic_u8,
+        proj_rgb=out['proj_rgb_u8'],
+        pred_rgb=pred_rgb_u8,
         proj_depth=out['proj_depth'],
         pred_depth=pred_depth,
         mu=out['mu'],
