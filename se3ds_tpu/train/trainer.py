@@ -294,27 +294,30 @@ class Trainer:
     cluster_iter = self._prefetch_clusters(nbs)
     last_log_step = start_step
     t_start = time.time()
-    for step in range(start_step, num_train_steps, nbs):
-      state, metrics = cluster_fn(state, next(cluster_iter))
-      for k, v in metrics.items():
-        metric_acc.setdefault(k, []).append(v)
-      completed = step + nbs
+    try:
+      for step in range(start_step, num_train_steps, nbs):
+        state, metrics = cluster_fn(state, next(cluster_iter))
+        for k, v in metrics.items():
+          metric_acc.setdefault(k, []).append(v)
+        completed = step + nbs
 
-      if completed % self.log_every_steps < nbs:
-        # _reduce_metrics fetches to host — the only true barrier on the
-        # relay backend; between logs, clusters are dispatched async.
-        result = self._reduce_metrics(metric_acc)
-        metric_acc = {}
-        result['steps_per_sec'] = (completed - last_log_step) / max(
-            time.time() - t_start, 1e-7)
-        train_logger.log_scalars(step, **result)
-        last_log_step = completed
-        t_start = time.time()
-      if completed % self.save_every_steps < nbs:
-        ckpt_mgr.save(int(state.step), jax.device_get(state))
-        config_lib.write_operative_config(self.model_dir, int(state.step))
-        image_dict, _ = self._get_image_grid(state, 'train')
-        train_logger.log_images(step, **image_dict)
+        if completed % self.log_every_steps < nbs:
+          # _reduce_metrics fetches to host — the only true barrier on
+          # the relay backend; between logs, clusters dispatch async.
+          result = self._reduce_metrics(metric_acc)
+          metric_acc = {}
+          result['steps_per_sec'] = (completed - last_log_step) / max(
+              time.time() - t_start, 1e-7)
+          train_logger.log_scalars(step, **result)
+          last_log_step = completed
+          t_start = time.time()
+        if completed % self.save_every_steps < nbs:
+          ckpt_mgr.save(int(state.step), jax.device_get(state))
+          config_lib.write_operative_config(self.model_dir, int(state.step))
+          image_dict, _ = self._get_image_grid(state, 'train')
+          train_logger.log_images(step, **image_dict)
+    finally:
+      cluster_iter.close()
     ckpt_mgr.save(int(state.step), jax.device_get(state))
     task_mgr.mark_training_done()
     return state
@@ -336,24 +339,35 @@ class Trainer:
     A daemon thread pulls and stacks `nbs` host batches ahead of the
     consumer (reference base_dataset prefetch + the per-cluster infeed of
     gan_manager.train_cluster), so PNG decode overlaps device compute.
+    Closing the generator (train() does so on exit) stops the thread so
+    it does not keep draining the dataset after training ends.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     sharding = mesh_lib.cluster_sharding(self.mesh)
+    stop = threading.Event()
 
     def produce():
-      while True:
+      while not stop.is_set():
         batches = []
         with self._ds_lock:
           for _ in range(nbs):
             batches.append(self._host_batch(next(self.train_ds)))
-        q.put({k: np.stack([b[k] for b in batches])
-               for k in batches[0]})
+        item = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        while not stop.is_set():
+          try:
+            q.put(item, timeout=0.5)
+            break
+          except queue.Full:
+            continue
 
     threading.Thread(target=produce, daemon=True,
                      name='se3ds-cluster-prefetch').start()
-    while True:
-      host = q.get()
-      yield {k: jax.device_put(v, sharding) for k, v in host.items()}
+    try:
+      while True:
+        host = q.get()
+        yield {k: jax.device_put(v, sharding) for k, v in host.items()}
+    finally:
+      stop.set()
 
   def _reduce_metrics(self, acc: Dict[str, list]) -> Dict[str, float]:
     result = {}
