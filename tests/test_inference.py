@@ -116,3 +116,29 @@ def test_ply_export(tmp_path, model):
   n = int([l for l in lines if l.startswith('element vertex')][0].split()[-1])
   assert n > 0
   assert len(lines) == 10 + n
+
+
+def test_live_extent_splat_matches_full_capacity():
+  """The live-extent slice must be invisible: forcing the splat to run
+  over the FULL capacity (as before the optimisation) yields bitwise
+  identical outputs, because the tail slots are void points the z-buffer
+  skips."""
+  config = model_config.get_test_config()
+  model = inference.SE3DSModel(config)
+  rng = np.random.RandomState(11)
+  h, w = config.image_height, config.image_height * 2
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+  target = np.array([[0.4, 0.2, 0.0]], np.float32)
+
+  out_live = model(target)
+  assert model._frames_written == 1
+  model._frames_written = config.memory_frames  # force full-capacity path
+  out_full = model(target)
+
+  for field in out_live._fields:
+    a, b = getattr(out_live, field), getattr(out_full, field)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                  err_msg=field)
