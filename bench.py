@@ -65,6 +65,7 @@ def bench_train():
   iters = int(os.environ.get('SE3DS_BENCH_ITERS', 3))
   nbs = int(os.environ.get('SE3DS_BENCH_NBS', 10))
   gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 64))
+  remat = os.environ.get('SE3DS_BENCH_REMAT', '0') == '1'
   dtype = (jnp.bfloat16 if os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
            == 'bfloat16' else jnp.float32)
   h, w = size, size * 2
@@ -74,7 +75,7 @@ def bench_train():
   discriminator = disc_lib.SNMultiScaleDiscriminator(
       dis_dims=gen_dims, n_dis=2, n_layers=6, dtype=dtype)
   g_tx, d_tx = state_lib.make_optimizers(1e-4, 4e-4, 0.5, 0.999)
-  hp = state_lib.GANHParams(d_step_per_g_step=2)
+  hp = state_lib.GANHParams(d_step_per_g_step=2, remat=remat)
 
   rng = jax.random.PRNGKey(0)
   keys = jax.random.split(rng, 8)
@@ -121,9 +122,10 @@ def bench_train():
   _ = np.asarray(metrics['gen/gen_loss'])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
   steps_per_sec = iters * nbs / elapsed
+  tag = ', remat' if remat else ''
   result = {
       'metric': (f'{w}x{h} batch-{batch} gen_dims-{gen_dims} G+D train '
-                 f'steps/sec/chip (d:g=2:1, {nbs}-step clusters)'),
+                 f'steps/sec/chip (d:g=2:1, {nbs}-step clusters{tag})'),
       'value': round(steps_per_sec, 4),
       'unit': 'steps/sec',
       'vs_baseline': round(
