@@ -44,8 +44,9 @@ def bench_train():
 
   Dispatches `SE3DS_BENCH_NBS`-step fused clusters (lax.scan, the same
   path Trainer.train uses, mirroring the reference's num_batched_steps
-  fusion, gan_manager.py:376-385) and reports steps/sec + MFU (from
-  XLA's own per-cluster FLOP count vs the v5e bf16 peak).
+  fusion, gan_manager.py:376-385) and reports steps/sec + MFU (from the
+  analytic utils/flops.py jaxpr-walk count vs the v5e bf16 peak; XLA's
+  cost_analysis under-reports ~15x through the relay).
 
   The production gen_dims=128 G (1.1B params) exceeds one v5e's 16 GB
   HBM in optimizer state alone (PERF.md 'Memory limits'); ZeRO-1 over
@@ -194,7 +195,7 @@ def bench_eval():
 
   @jax.jit
   def eval_step(v, batch_in, key):
-    generated, rmse = metrics_lib.rollout_generated(
+    generated, rmse, _ = metrics_lib.rollout_generated(
         generator_apply, v, batch_in, seq_len, 20.0, True,
         splat_mode='sorted')
     keys = jax.random.split(key, seq_len)

@@ -76,6 +76,13 @@ def rollout_generated(generator_apply: Callable,
   Returns:
     generated: dict frame_idx -> (N,H,W,3) for frames 0..eval_seq_len-1.
     rmse: dict frame_idx -> (N,) for frames 0..eval_seq_len-1.
+    aux: dict of per-frame families for the eval image grid / PNG dumps
+      (reference gan_manager.py:560-617): 'pred_depth' (the depth fed to
+      memory — GT at frame 0, the generator's depth_out for frames > 0
+      when predict_depth), 'projected' (splatted guidance RGB in [0,1]),
+      'blurred_mask', 'proj_mask'; each frame_idx -> (N,H,W,C).
+      Callers that only need RGB can ignore it — under jit, XLA dead-code
+      eliminates unused outputs.
   """
   n, t, height, width, _ = batch['image'].shape
   capacity = eval_seq_len * height * width
@@ -88,6 +95,8 @@ def rollout_generated(generator_apply: Callable,
   depth_tensor = batch['depth'][:, 0]
   all_generated = {}
   all_rmse = {}
+  aux = {'pred_depth': {}, 'projected': {}, 'blurred_mask': {},
+         'proj_mask': {}}
 
   for frame_idx in range(eval_seq_len):
     target_depth = batch['depth'][:, frame_idx]
@@ -133,6 +142,14 @@ def rollout_generated(generator_apply: Callable,
       if depth_out is not None and predict_depth:
         depth_tensor = depth_out
 
+    # Grid/PNG families (reference gan_manager.py:520-556: pred_depth is
+    # appended after the depth_tensor<-depth_out switch, so it is exactly
+    # the depth that feeds the memory below).
+    aux['pred_depth'][frame_idx] = depth_tensor
+    aux['projected'][frame_idx] = pred_rgb
+    aux['blurred_mask'][frame_idx] = blurred_mask
+    aux['proj_mask'][frame_idx] = pred_mask
+
     # RMSE on the depth used for the memory (pred depth for frames > 0).
     target_mask = ((target_depth > 0) & (target_depth < 1)).astype(
         jnp.float32)
@@ -155,7 +172,7 @@ def rollout_generated(generator_apply: Callable,
         memory_feats, feats.astype(jnp.float32), (0, offset, 0))
     all_generated[frame_idx] = generated
 
-  return all_generated, all_rmse
+  return all_generated, all_rmse, aux
 
 
 class EvalMetric:
@@ -228,7 +245,7 @@ class EvalMetric:
   def _make_generated_pool_fn(self, generator_apply):
     @jax.jit
     def fn(variables, batch, rng):
-      generated, rmse = rollout_generated(
+      generated, rmse, _ = rollout_generated(
           generator_apply, variables, batch, self.eval_seq_len,
           self.depth_scale, self.predict_depth,
           splat_mode=self.splat_mode)

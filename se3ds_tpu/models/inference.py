@@ -128,6 +128,11 @@ def memory_add_pano(memory: MemoryState,
   xyz1 = xyz1 + transformed_position[:, :, None]
   rgb_xyz1 = rgb_xyz1 + transformed_position[:, :, None]
 
+  # NOTE: past capacity, dynamic_update_slice clamps the start index, so
+  # a write beyond the last slot would silently overwrite the final
+  # frame's range. This low-level function stays clamp-only (jit-safe,
+  # no data-dependent error); the host wrapper `SE3DSModel` raises
+  # before dispatch instead (see _check_memory_capacity).
   num_new = xyz1.shape[-1]
   cap = memory.coords.shape[-1]
   if num_new > cap:
@@ -278,9 +283,25 @@ class SE3DSModel:
             xyz[i, 0], xyz[i, 1], xyz[i, 2], int(rgb[i, 0]), int(rgb[i, 1]),
             int(rgb[i, 2])))
 
+  def _check_memory_capacity(self):
+    """Raises when another frame would not fit.
+
+    The reference grows its memory unboundedly (models.py:239-245); our
+    fixed-capacity buffer cannot, and silently overwriting the last
+    frame's slots would be a behavioural cliff for long trajectories —
+    so the host API fails loudly instead. Raise `memory_frames` in the
+    config (or `reset_memory()`) to continue.
+    """
+    if self._frames_written >= self.config.memory_frames:
+      raise ValueError(
+          f'Point-cloud memory is full ({self.config.memory_frames} frames'
+          f' = {self.capacity} points). Increase'
+          ' SE3DSConfig.memory_frames or call reset_memory().')
+
   def add_to_memory(self, pano_rgb, pano_semantic, pano_depth, position,
                     mask_blurred: bool = True):
     """Adds an equirectangular observation to memory (models.py:180-245)."""
+    self._check_memory_capacity()
     pano_rgb = jnp.asarray(pano_rgb)
     self.prev_rgb_frame = (pano_rgb / 255).astype(jnp.float32)
     self._memory = self._jit_add(
@@ -358,14 +379,23 @@ class SE3DSModel:
     del sample_noise
     position = jnp.asarray(position, jnp.float32)
     assert self.prev_rgb_frame is not None
+    # Bucket the static frame count to the next power of two (capped at
+    # memory_frames): any extent >= frames_written is exact (the extra
+    # slots are void and splat-skipped), and bucketing bounds the number
+    # of compiled _forward variants at log2(memory_frames)+1 instead of
+    # memory_frames — each compile costs minutes on relay backends.
+    num_frames = max(1, self._frames_written)
+    bucket = 1 << (num_frames - 1).bit_length()
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
-                         position, num_frames=self._frames_written)
+                         position,
+                         num_frames=min(bucket, self.config.memory_frames))
 
     pred_rgb_u8 = out['pred_rgb_u8']
     pred_semantic_u8 = out['pred_semantic_u8']
     pred_depth = out['pred_depth']
     generated_rgb = out['generated_rgb']
     if add_preds_to_memory:
+      self._check_memory_capacity()
       pred_rgb_mem = out['pc_rgb']
       pred_semantic_mem = out['pred_semantic']
       pred_depth_mem = out['pred_depth']

@@ -347,15 +347,25 @@ class Trainer:
     stop = threading.Event()
 
     def produce():
-      while not stop.is_set():
-        batches = []
-        with self._ds_lock:
-          for _ in range(nbs):
-            batches.append(self._host_batch(next(self.train_ds)))
-        item = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+      try:
+        while not stop.is_set():
+          batches = []
+          with self._ds_lock:
+            for _ in range(nbs):
+              batches.append(self._host_batch(next(self.train_ds)))
+          item = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+          while not stop.is_set():
+            try:
+              q.put(item, timeout=0.5)
+              break
+            except queue.Full:
+              continue
+      except BaseException as exc:  # pylint: disable=broad-except
+        # Surface producer failures (dataset exhaustion, decode errors) to
+        # the consumer instead of hanging it on q.get() forever.
         while not stop.is_set():
           try:
-            q.put(item, timeout=0.5)
+            q.put(exc, timeout=0.5)
             break
           except queue.Full:
             continue
@@ -365,6 +375,8 @@ class Trainer:
     try:
       while True:
         host = q.get()
+        if isinstance(host, BaseException):
+          raise RuntimeError('cluster-prefetch producer failed') from host
         yield {k: jax.device_put(v, sharding) for k, v in host.items()}
     finally:
       stop.set()
@@ -415,34 +427,50 @@ class Trainer:
       batch = display_batch
       jbatch = {k: jnp.asarray(batch[k]) for k in
                 ('image', 'depth', 'position', 'depth_scale', 'dataset_type')}
-      gen_frames, _ = metrics_lib.rollout_generated(
+      gen_frames, _, gen_aux = metrics_lib.rollout_generated(
           self._generator_apply_eval, self._variables(state), jbatch,
           self.eval_seq_len, float(np.asarray(batch['depth_scale'])[0]),
           self.predict_depth, splat_mode=self.eval_splat_mode)
-      ema_frames, _ = metrics_lib.rollout_generated(
+      ema_frames, _, ema_aux = metrics_lib.rollout_generated(
           self._generator_apply_eval, self._variables(state, ema=True),
           jbatch, self.eval_seq_len,
           float(np.asarray(batch['depth_scale'])[0]), self.predict_depth,
           splat_mode=self.eval_splat_mode)
       cat = lambda frames: np.concatenate(
           [np.asarray(frames[i]) for i in range(self.eval_seq_len)], 0)
+      tile3 = lambda d: np.tile(np.asarray(d), [1, 1, 1, 3])
       real = np.concatenate(
           [np.asarray(batch['image'][:, i])
            for i in range(self.eval_seq_len)], 0)
+      real_depth = np.concatenate(
+          [np.asarray(batch['depth'][:, i])
+           for i in range(self.eval_seq_len)], 0)
+      # The full 9-family eval grid (reference gan_manager.py:560-617);
+      # projected/blur_bbox/proj_mask come from the non-EMA rollout, as in
+      # the reference's mode == "normal" branch.
       families = {
           'raw_generated': cat(gen_frames),
           'ema_generated': cat(ema_frames),
+          'pred_depth': tile3(cat(gen_aux['pred_depth'])),
+          'ema_pred_depth': tile3(cat(ema_aux['pred_depth'])),
           'real_img': real,
+          'real_depth': tile3(real_depth),
+          'projected': cat(gen_aux['projected']),
+          'blur_bbox': tile3(cat(gen_aux['blurred_mask'])),
+          'proj_mask': tile3(cat(gen_aux['proj_mask'])),
       }
       # Interleave (example, frame) ordering for PNG export:
       # (T*N, H, W, 3) stacked frame-major -> reorder to example-major.
+      # (The reference indexes its frame-major concat with example-major
+      # arithmetic, gan_manager.py:285-291 — a bug we fix here.)
       n = int(batch['image'].shape[0])
-      ema_stack = cat(ema_frames).reshape(
-          self.eval_seq_len, n, *cat(ema_frames).shape[1:])
-      ema_stack = np.transpose(ema_stack, (1, 0, 2, 3, 4)).reshape(
-          -1, *cat(ema_frames).shape[1:])
-      output_dict['ema_generated_image'] = ema_stack
-      output_dict['ema_pred_depth'] = np.zeros_like(ema_stack)
+      def example_major(stack):
+        return np.transpose(
+            stack.reshape(self.eval_seq_len, n, *stack.shape[1:]),
+            (1, 0, 2, 3, 4)).reshape(-1, *stack.shape[1:])
+      output_dict['ema_generated_image'] = example_major(cat(ema_frames))
+      output_dict['ema_pred_depth'] = example_major(
+          families['ema_pred_depth'])
 
     for key, value in families.items():
       image_dict.update(image_grid.get_grid_image_dict(
@@ -496,12 +524,15 @@ class Trainer:
           state, 'eval', display_batch=display_batch)
       image_dict = {f'{k}/{self.test_split}': v
                     for k, v in image_dict.items()}
+      self._last_eval_image_dict = image_dict  # introspection for tests
 
-      # Save per-frame RGB PNGs (reference gan_manager.py:274-296).
+      # Save per-frame RGB + depth PNGs (reference gan_manager.py:274-296:
+      # outputs_to_save = {"rgb": ..., "depth": "ema_pred_depth"}).
       from se3ds_tpu.data import png as png_lib
       image_output_dir = os.path.join(
           self.model_dir, f'images/{self.test_split}/{step}')
-      outputs_to_save = {'rgb': 'ema_generated_image'}
+      outputs_to_save = {'rgb': 'ema_generated_image',
+                         'depth': 'ema_pred_depth'}
       for suffix, key in outputs_to_save.items():
         image_outputs = output_dict[key]
         num_examples = image_outputs.shape[0] // self.eval_seq_len

@@ -32,14 +32,13 @@ def _conv_flops(eqn) -> float:
   out = eqn.outvars[0].aval
   rhs = eqn.invars[1].aval  # kernel
   dn = eqn.params['dimension_numbers']
-  groups = (eqn.params.get('feature_group_count', 1)
-            * eqn.params.get('batch_group_count', 1))
-  # Kernel: spatial dims x in-features(per group); output feature dim is
-  # already part of `out`.
+  # Kernel: spatial dims x in-features-per-group; the kernel's input dim
+  # is already in/groups, so kernel_elems/out_features IS the per-output
+  # MAC count — no further division by the group count.
   kernel_elems = math.prod(rhs.shape)
   out_features = rhs.shape[dn.rhs_spec[0]]
   macs_per_output = kernel_elems / max(out_features, 1)
-  return 2.0 * math.prod(out.shape) * macs_per_output / max(groups, 1)
+  return 2.0 * math.prod(out.shape) * macs_per_output
 
 
 def _jaxpr_flops(jaxpr) -> float:

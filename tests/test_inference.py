@@ -142,3 +142,41 @@ def test_live_extent_splat_matches_full_capacity():
     a, b = getattr(out_live, field), getattr(out_full, field)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                   err_msg=field)
+
+
+def test_memory_overflow_raises():
+  """Adding past capacity must fail loudly, not silently overwrite the
+  last frame's slots (the reference grows unboundedly, models.py:239-245;
+  our fixed-capacity buffer defines the cliff explicitly)."""
+  config = model_config.get_test_config()
+  model = inference.SE3DSModel(config)
+  h, w = config.image_height, config.image_height * 2
+  rgb, sem, depth = _synthetic_pano(h, seed=3)
+  pos = np.zeros((1, 3), np.float32)
+  for _ in range(config.memory_frames):
+    model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+  with pytest.raises(ValueError, match='memory is full'):
+    model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+  # The autoregressive write path raises too...
+  with pytest.raises(ValueError, match='memory is full'):
+    model(np.array([[0.1, 0, 0]], np.float32), add_preds_to_memory=True)
+  # ...but a read-only prediction at full capacity is fine.
+  out = model(np.array([[0.1, 0, 0]], np.float32))
+  assert out.pred_rgb.shape == (1, h, w, 3)
+
+
+def test_forward_compiles_are_bucketed():
+  """num_frames is bucketed to powers of two, bounding compiled _forward
+  variants at log2(memory_frames)+1 (advisor finding r2: each compile
+  costs minutes on relay backends)."""
+  config = model_config.get_test_config()
+  model = inference.SE3DSModel(config)
+  h, w = config.image_height, config.image_height * 2
+  rgb, sem, depth = _synthetic_pano(h, seed=7)
+  pos = np.zeros((1, 3), np.float32)
+  model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+  for i in range(config.memory_frames - 1):
+    model(np.array([[0.2 * i, 0, 0]], np.float32), add_preds_to_memory=True)
+  max_compiles = (config.memory_frames - 1).bit_length() + 1
+  assert model._jit_call._cache_size() <= max_compiles, (
+      model._jit_call._cache_size(), max_compiles)

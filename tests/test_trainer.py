@@ -63,9 +63,21 @@ def test_eval_unit_path(trainer):
   assert any('inception_score@1' in k for k in keys), keys
   for k, v in result.items():
     assert np.isfinite(v), (k, v)
-  # Eval wrote per-frame PNG dumps.
+  # Eval wrote per-frame RGB AND depth PNG dumps
+  # (reference gan_manager.py:277-296 outputs_to_save).
   img_dir = os.path.join(trainer.model_dir, 'images', 'val_seen')
   assert os.path.isdir(img_dir)
+  rgb_pngs = glob.glob(os.path.join(img_dir, '*', '*', '*_rgb.png'))
+  depth_pngs = glob.glob(os.path.join(img_dir, '*', '*', '*_depth.png'))
+  assert rgb_pngs, os.listdir(img_dir)
+  assert len(depth_pngs) == len(rgb_pngs), (rgb_pngs, depth_pngs)
+  # The eval image grid logs all nine reference families
+  # (gan_manager.py:560-617).
+  grid_keys = set(trainer._last_eval_image_dict)
+  for fam in ('raw_generated', 'ema_generated', 'pred_depth',
+              'ema_pred_depth', 'real_img', 'real_depth', 'projected',
+              'blur_bbox', 'proj_mask'):
+    assert f'eval_{fam}/val_seen' in grid_keys, (fam, sorted(grid_keys))
 
 
 def test_elastic_resume_restores_identical_state(trainer):
@@ -92,6 +104,21 @@ def test_elastic_resume_restores_identical_state(trainer):
   for a, b in zip(jax.tree_util.tree_leaves(saved),
                   jax.tree_util.tree_leaves(resumed)):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_propagates_producer_failure(trainer):
+  """A dying prefetch producer must surface its error to the consumer
+  instead of hanging it on q.get() forever (advisor finding r2)."""
+  old_ds = getattr(trainer, 'train_ds', None)
+  trainer.train_ds = iter(())  # immediately exhausted -> StopIteration
+  gen = trainer._prefetch_clusters(1)
+  try:
+    with pytest.raises(RuntimeError, match='producer failed'):
+      next(gen)
+  finally:
+    gen.close()
+    if old_ds is not None:
+      trainer.train_ds = old_ds
 
 
 def test_config_parsing_surface():
