@@ -132,6 +132,17 @@ def _decode_image_example(raw: bytes, preprocessed_height: int):
   return out
 
 
+def device_z(rng, batch_size: int, z_dim: int = 128):
+  """Draws the noise vector on the accelerator — z_generator='device'
+  (reference base_dataset.py:44-50: 'otherwise use on device tf.random').
+
+  The host pipeline omits 'z' in this mode; a train step that consumes z
+  calls this with its per-step PRNG key instead.
+  """
+  import jax  # local: the host pipeline module stays importable sans jax
+  return jax.random.normal(rng, (batch_size, z_dim), np.float32)
+
+
 class BaseDataset:
   """Base dataset: record iteration, sharding, batching, prefetch."""
 
@@ -142,6 +153,14 @@ class BaseDataset:
     self.image_size = image_size
     self.num_classes = num_classes
     self.z_dim = z_dim
+    # Reference base_dataset.py:36-50: 'cpu_generator' draws z from a
+    # per-pipeline host generator, 'cpu_random' from global host random,
+    # 'device' defers z to the accelerator — the host batch carries no
+    # 'z' key and the train step draws it per-step (see device_z below).
+    # z is vestigial in this release (the generator's second input is
+    # always None), but the mode is public dataset surface.
+    if z_generator not in ('cpu_generator', 'cpu_random', 'device'):
+      raise ValueError(f'Unknown z_generator mode: {z_generator!r}')
     self.z_generator = z_generator
 
   # Subclass API ------------------------------------------------------------

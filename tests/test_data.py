@@ -185,13 +185,23 @@ def test_re10k_transform(tmp_path):
   assert batch['bbox'].shape == (3, 4)
 
 
-def test_ema_module():
-  import jax.numpy as jnp
-  from se3ds_tpu.train import ema
-  tree = {'a': jnp.ones((2,)), 'b': jnp.zeros((3,))}
-  new = {'a': jnp.zeros((2,)), 'b': jnp.ones((3,))}
-  assigned = ema.assign_ema_vars_from_initial_values(tree, new)
-  np.testing.assert_allclose(assigned['a'], 0.0)
-  updated = ema.update_ema_variables(tree, new, 0.9)
-  np.testing.assert_allclose(np.asarray(updated['a']), 0.9)
-  np.testing.assert_allclose(np.asarray(updated['b']), 0.1)
+def test_z_generator_modes():
+  """Reference base_dataset.py:36-50: cpu modes emit a host 'z'; 'device'
+  defers z to the accelerator (no 'z' in the host batch); unknown modes
+  are rejected."""
+  import jax
+  from se3ds_tpu.data import datasets as ds_lib
+  rng = np.random.RandomState(0)
+  for mode, has_z in (('cpu_generator', True), ('cpu_random', True),
+                      ('device', False)):
+    ds = ds_lib.R2RImageDataset(image_size=32, preprocessed_image_height=64,
+                                z_generator=mode)
+    raw = synthetic.make_image_example(height=64)
+    out = ds._train_transform_fn(ds._parse(raw), rng)
+    assert ('z' in out) == has_z, (mode, sorted(out))
+    if has_z:
+      assert out['z'].shape == (ds.z_dim,)
+  with pytest.raises(ValueError, match='z_generator'):
+    ds_lib.R2RImageDataset(image_size=32, z_generator='gpu')
+  z = ds_lib.device_z(jax.random.PRNGKey(0), 4, z_dim=16)
+  assert z.shape == (4, 16) and z.dtype == np.float32
