@@ -2,30 +2,49 @@
 
 Strategy: XLA's data-dependent scatters serialise on TPU (~7-9 ms per
 scatter at 1M points). Instead, points are sorted by destination pixel
-(fast on TPU: one multi-payload `lax.sort`), tile boundaries are found
-with `searchsorted`, and a Pallas kernel processes one image tile per
-grid step: it DMAs that tile's contiguous point range from HBM and
-resolves the z-buffer with *dense masked reductions* on the VPU — an
-(CHUNK, TILE) equality mask selects each point's pixel lane, and
-min/max reductions over the chunk axis replace the scatter entirely.
-Each grid step owns its output tile, so the kernel is race-free and
-fully parallel.
+(fast on TPU: one multi-payload `lax.sort`) and a Pallas kernel streams
+the sorted points chunk-by-chunk (BlockSpec pipelining, no manual DMA)
+while keeping the FULL image z-buffer resident in VMEM as the output
+block (constant index_map — the classic cross-grid-step accumulator
+pattern). For each chunk it walks the (contiguous, because sorted) range
+of 128-lane pixel rows the chunk touches and folds the chunk's points
+into those rows with dense masked min/max reductions on the VPU — an
+(CHUNK, 128) equality mask selects each point's pixel lane, replacing
+the scatter entirely.
+
+Cost is worst-case bounded: consecutive chunks touch disjoint row
+windows (sorted order) except at boundaries, so the total number of
+row-iterations is <= num_rows + num_chunks for ANY point distribution.
+
+MEASURED (v5e via relay, 1M points -> 1024x512, scripts/
+bench_splat_modes.py): pallas 20.7 ms vs 'fast' packed-scatter 15.9 ms
+vs exact 'scatter' 35.8 ms. Breakdown: 1-key/2-payload lax.sort 9.0 ms
+(single-key is 6.8 — payloads are expensive), kernel 9.2 ms
+(~1.5 us/row-iteration across 6144 iterations — dominated by loop/
+dynamic-store overhead, not VPU element throughput; hoisting the
+lane-select out of the row loop took it from 10.5, CHUNK=1024 made it
+worse). The round-2 ~10 ms estimate assumed the sort was ~2 ms and the
+masked reduction ran at element-throughput; neither holds on this
+hardware, so 'fast' remains the default splat. The kernel stays as
+working, tested infrastructure: it IS the right shape if a cheaper
+binning pass replaces lax.sort, and it now compiles on this toolchain
+(the round-2 blockers are gone — see below).
 
 Semantics match `splat.project_to_feat_fast`: exact f32 min-depth buffer
 plus a packed (inverted depth bucket | feature bytes) uint32 winner per
-pixel.
+pixel (reference semantics: point_cloud_utils.py:90-183).
 
-STATUS: numerically validated in Pallas interpreter mode (bit-identical
-to project_to_feat_fast; see tests/test_geometry.py). The axon remote
-Mosaic toolchain in this build environment crashes (HTTP 500, no
-diagnostics) on `pltpu.make_async_copy` and on sublane-flatten reshapes,
-so the kernel cannot yet be compiled here; `pallas_available()` probes
-the toolchain once per process and splat_mode='pallas' degrades to
-'fast' automatically when the probe fails. On a standard
-libtpu/Mosaic install this kernel replaces the two data-dependent
-scatters (~15 ms at 1M points) with one multi-payload sort (~2 ms) plus
-a fully-parallel tiled masked reduction (~3 ms estimated from VPU
-element throughput).
+This is the v2 formulation: v1 (round 2) used `pltpu.make_async_copy`
+with per-tile variable-length point ranges and a sublane-flattening
+epilogue, both of which crashed the axon remote Mosaic service
+(HTTP 500, no diagnostics). v2 uses only BlockSpec streaming, row-wise
+(1, 128) stores, and dynamic-bound `fori_loop` — constructs the Mosaic
+frontend handles conservatively. `pallas_available()` probes the
+toolchain once per process and splat_mode='pallas' degrades to 'fast'
+automatically when the probe fails.
+
+VMEM budget: the resident z/packed buffers cost num_pixels * 8 bytes
+(4 MB at 1024x512); images above ~1.5M pixels fall back to 'fast'.
 """
 
 from __future__ import annotations
@@ -38,114 +57,111 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile of output pixels resolved per grid step; chunk of points processed
-# per inner iteration. (8, 128) f32 native tiling => keep multiples.
-TILE = 1024
+# Points processed per grid step. Multiple of the (8, 128) f32 tile.
 CHUNK = 512
+_LANES = 128
+# Resident VMEM for the two accumulators is num_pixels * 8 bytes; cap so
+# the kernel + double-buffered input stream stays well under ~16 MB.
+_MAX_VMEM_PIXELS = 1536 * 1024
 
 
-def _splat_kernel(offsets_ref,  # (T+1,) scalar prefetch
-                  sflat_hbm, sdepth_hbm, spacked_hbm,  # (Mpad, 1) in HBM
-                  zbuf_ref, pbuf_ref,  # (1, TILE) outputs in VMEM
-                  flat_s, depth_s, packed_s, sem,  # (CHUNK, 1) scratch
-                  *, depth_scale: float):
+def _splat_kernel(flat_ref, depth_ref, packed_ref,  # (1, CHUNK, 1) in VMEM
+                  zbuf_ref, pbuf_ref,  # (1, ROWS, 128) resident outputs
+                  *, depth_scale: float, num_rows: int):
   # Note: packed values are carried as *sign-flipped int32* (u32 ^ 2^31)
   # because Mosaic has no unsigned reductions; i32 max on the flipped
   # values == u32 max on the originals.
-  t = pl.program_id(0)
-  start = offsets_ref[t]
-  end = offsets_ref[t + 1]
-  base = t * TILE
+  i = pl.program_id(1)
 
-  lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-  num_chunks = pl.cdiv(end - start, CHUNK)
+  @pl.when(i == 0)
+  def _init():
+    zbuf_ref[...] = jnp.full_like(zbuf_ref, depth_scale)
+    pbuf_ref[...] = jnp.full_like(pbuf_ref, -(2**31))
 
-  def body(i, carry):
-    zacc, pacc = carry
-    off = start + i * CHUNK
-    cp_flat = pltpu.make_async_copy(
-        sflat_hbm.at[pl.ds(off, CHUNK), :], flat_s, sem.at[0])
-    cp_depth = pltpu.make_async_copy(
-        sdepth_hbm.at[pl.ds(off, CHUNK), :], depth_s, sem.at[1])
-    cp_packed = pltpu.make_async_copy(
-        spacked_hbm.at[pl.ds(off, CHUNK), :], packed_s, sem.at[2])
-    cp_flat.start()
-    cp_depth.start()
-    cp_packed.start()
-    cp_flat.wait()
-    cp_depth.wait()
-    cp_packed.wait()
+  flat = flat_ref[0, :, :]  # (CHUNK, 1)
+  rows_pt = flat // _LANES  # (CHUNK, 1)
+  cols_pt = flat % _LANES
+  lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _LANES), 1)
 
-    in_range = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                < (end - off))
-    local = flat_s[:, :] - base  # (CHUNK, 1)
-    eq = (local == lane) & in_range  # (CHUNK, TILE)
-    zc = jnp.min(jnp.where(eq, depth_s[:, :],
-                           jnp.asarray(depth_scale, jnp.float32)),
-                 axis=0, keepdims=True)
-    pc = jnp.max(jnp.where(eq, packed_s[:, :],
-                           jnp.asarray(-(2**31), jnp.int32)),
-                 axis=0, keepdims=True)
-    return jnp.minimum(zacc, zc), jnp.maximum(pacc, pc)
+  # Loop-invariant: each point's lane-selected value arrays. Points that
+  # miss a lane carry the identity (depth_scale / INT32_MIN).
+  col_eq = cols_pt == lane  # (CHUNK, 128)
+  zsel = jnp.where(col_eq, depth_ref[0, :, :],
+                   jnp.asarray(depth_scale, jnp.float32))
+  psel = jnp.where(col_eq, packed_ref[0, :, :],
+                   jnp.asarray(-(2**31), jnp.int32))
 
-  zacc = jnp.full((1, TILE), depth_scale, jnp.float32)
-  pacc = jnp.full((1, TILE), -(2**31), jnp.int32)
-  zacc, pacc = jax.lax.fori_loop(0, num_chunks, body, (zacc, pacc))
-  # Output tile is stored as (8, 128) rows (native f32 tiling); the flat
-  # (1, TILE) accumulator maps row-major onto it.
-  for r in range(TILE // 128):
-    zbuf_ref[r, :] = zacc[0, r * 128:(r + 1) * 128]
-    pbuf_ref[r, :] = pacc[0, r * 128:(r + 1) * 128]
+  # The chunk is sorted, so it spans the contiguous row range
+  # [rows_pt[0], rows_pt[-1]]; sentinel-padded points (flat == num_pixels)
+  # sort to the end and land on row num_rows, which the bound excludes.
+  row_first = flat_ref[0, 0, 0] // _LANES
+  row_last = flat_ref[0, CHUNK - 1, 0] // _LANES
+
+  def body(r, _):
+    rmask = rows_pt == r  # (CHUNK, 1), broadcasts over lanes
+    zc = jnp.min(
+        jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
+        axis=0, keepdims=True)  # (1, 128)
+    pc = jnp.max(
+        jnp.where(rmask, psel, jnp.asarray(-(2**31), jnp.int32)),
+        axis=0, keepdims=True)
+    zbuf_ref[0, pl.ds(r, 1), :] = jnp.minimum(zbuf_ref[0, pl.ds(r, 1), :],
+                                              zc)
+    pbuf_ref[0, pl.ds(r, 1), :] = jnp.maximum(pbuf_ref[0, pl.ds(r, 1), :],
+                                              pc)
+    return 0
+
+  jax.lax.fori_loop(row_first, jnp.minimum(row_last + 1, num_rows), body, 0,
+                    unroll=False)
 
 
 def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
                          depth_scale: float, interpret: bool = False):
-  """Runs the tiled kernel over pre-sorted, padded point arrays."""
-  num_tiles = num_pixels // TILE
-  assert num_pixels % TILE == 0, (num_pixels, TILE)
-  tile_starts = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE
-  offsets = jnp.searchsorted(sflat, tile_starts, side='left').astype(
-      jnp.int32)
-  # Clamp to the unpadded region (padding sentinel sorts to the end).
-  grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
-      grid=(num_tiles,),
-      in_specs=[
-          pl.BlockSpec(memory_space=pltpu.ANY),
-          pl.BlockSpec(memory_space=pltpu.ANY),
-          pl.BlockSpec(memory_space=pltpu.ANY),
-      ],
-      out_specs=[
-          pl.BlockSpec((TILE // 128, 128), lambda t, *_: (t, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((TILE // 128, 128), lambda t, *_: (t, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      scratch_shapes=[
-          pltpu.VMEM((CHUNK, 1), jnp.int32),
-          pltpu.VMEM((CHUNK, 1), jnp.float32),
-          pltpu.VMEM((CHUNK, 1), jnp.int32),
-          pltpu.SemaphoreType.DMA((3,)),
-      ],
-  )
+  """Runs the streaming kernel over pre-sorted, padded point arrays.
+
+  Args:
+    sflat: (B, Mpad) int32 sorted flat pixel indices (sentinel
+      num_pixels for padding/invalid), Mpad % CHUNK == 0.
+    sdepth: (B, Mpad) float32 depths (rides the same sort order).
+    spacked: (B, Mpad) int32 sign-flipped packed payloads.
+  """
+  batch, num_padded = sflat.shape
+  assert num_padded % CHUNK == 0, (num_padded, CHUNK)
+  assert num_pixels % _LANES == 0, num_pixels
+  num_rows = num_pixels // _LANES
+  num_chunks = num_padded // CHUNK
+
+  grid = (batch, num_chunks)
+  point_spec = lambda: pl.BlockSpec((1, CHUNK, 1), lambda b, i: (b, i, 0),
+                                    memory_space=pltpu.VMEM)
   zbuf, pbuf = pl.pallas_call(
-      functools.partial(_splat_kernel, depth_scale=depth_scale),
-      out_shape=[
-          jax.ShapeDtypeStruct((num_tiles * (TILE // 128), 128),
-                               jnp.float32),
-          jax.ShapeDtypeStruct((num_tiles * (TILE // 128), 128), jnp.int32),
+      functools.partial(_splat_kernel, depth_scale=depth_scale,
+                        num_rows=num_rows),
+      grid=grid,
+      in_specs=[point_spec(), point_spec(), point_spec()],
+      out_specs=[
+          pl.BlockSpec((1, num_rows, _LANES), lambda b, i: (b, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, num_rows, _LANES), lambda b, i: (b, 0, 0),
+                       memory_space=pltpu.VMEM),
       ],
-      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((batch, num_rows, _LANES), jnp.float32),
+          jax.ShapeDtypeStruct((batch, num_rows, _LANES), jnp.int32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary', 'arbitrary')),
       interpret=interpret,
-  )(offsets, sflat[:, None], sdepth[:, None], spacked[:, None])
-  return zbuf.reshape(num_pixels), pbuf.reshape(num_pixels)
+  )(sflat[:, :, None], sdepth[:, :, None], spacked[:, :, None])
+  return (zbuf.reshape(batch, num_pixels),
+          pbuf.reshape(batch, num_pixels))
 
 
 @functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
   """True when the Mosaic toolchain can compile+run the splat kernel.
 
-  Probes once per process with one TILE of points on the default backend
+  Probes once per process with one CHUNK of points on the default backend
   (compile + execute + fetch, so relay-deferred Mosaic failures are also
   caught). Callers use this to degrade splat_mode='pallas' to the packed
   'fast' scatter instead of raising (see geometry.
@@ -159,7 +175,7 @@ def pallas_available() -> bool:
         jnp.linspace(-0.5, 0.5, CHUNK), jnp.linspace(-0.5, 0.5, CHUNK),
         jnp.full((CHUNK,), 2.0), jnp.ones((CHUNK,))])[None]
     feats = jnp.ones((1, CHUNK, 3))
-    zbuf, _ = project_to_feat_pallas(coords, feats, 8, TILE // 8,
+    zbuf, _ = project_to_feat_pallas(coords, feats, 8, _LANES,
                                      depth_scale=20.0, input_void_class=-1.0)
     np.asarray(zbuf)  # host fetch forces the real (relay) compile
     return True
@@ -181,10 +197,12 @@ def project_to_feat_pallas(
     output_void_class: float = 0.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Tiled-Pallas splat with `project_to_feat_fast` semantics.
+  """Streaming-Pallas splat with `project_to_feat_fast` semantics.
 
-  Requires height*width to be a multiple of TILE (all production pano
-  sizes are) and <=3 feature channels with integer values in [0, 255].
+  Requires width to be a multiple of 128 (all production pano sizes),
+  <=3 integer feature channels in [0, 255], and height*width small
+  enough for the VMEM-resident accumulators; anything else falls back to
+  the packed XLA scatter.
   """
   from se3ds_tpu.ops import splat as splat_lib
 
@@ -196,7 +214,8 @@ def project_to_feat_pallas(
     feats = feats[..., None]
   channels = feats.shape[-1]
   num_pixels = height * width
-  if channels > 3 or num_pixels % TILE != 0:
+  if (channels > 3 or num_pixels % _LANES != 0
+      or num_pixels > _MAX_VMEM_PIXELS):
     out = splat_lib.project_to_feat_fast(
         transformed_coords, feats, height, width, depth_scale,
         input_void_class, output_void_class)
@@ -223,7 +242,8 @@ def project_to_feat_pallas(
   depth_clipped = jnp.where(valid, jnp.minimum(depth, depth_scale),
                             depth_scale).astype(jnp.float32)
 
-  pad = (-num_points) % CHUNK + CHUNK
+  pad = (-num_points) % CHUNK
+
   def one_batch(flat_b, depth_b, packed_b):
     flat_p = jnp.concatenate(
         [flat_b, jnp.full((pad,), num_pixels, jnp.int32)])
@@ -233,12 +253,11 @@ def project_to_feat_pallas(
     # Sign-flip for Mosaic (no unsigned reductions); undo after the kernel.
     packed_i = jax.lax.bitcast_convert_type(
         packed_p ^ jnp.uint32(1 << 31), jnp.int32)
-    sflat, sdepth, spacked = jax.lax.sort(
-        [flat_p, depth_p, packed_i], num_keys=1)
-    return _splat_sorted_points(sflat, sdepth, spacked, num_pixels,
-                                depth_scale, interpret=interpret)
+    return jax.lax.sort([flat_p, depth_p, packed_i], num_keys=1)
 
-  zbuf, pbuf = jax.vmap(one_batch)(flat, depth_clipped, packed)
+  sflat, sdepth, spacked = jax.vmap(one_batch)(flat, depth_clipped, packed)
+  zbuf, pbuf = _splat_sorted_points(sflat, sdepth, spacked, num_pixels,
+                                    depth_scale, interpret=interpret)
   pbuf = jax.lax.bitcast_convert_type(pbuf, jnp.uint32) ^ jnp.uint32(1 << 31)
   projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
                      ).reshape(batch_size, height, width)

@@ -126,6 +126,26 @@ def _disc_forward(discriminator, params, state, x, train, mutate,
   return fwd_pure(variables, x), state
 
 
+def _replicate_tree(tree, mesh):
+  """Pins a parameter/gradient pytree to replicated sharding.
+
+  Under a (data x spatial) mesh the backward pass of spatially-partitioned
+  convs otherwise leaves kernel gradients with activation-derived
+  shardings, and the SPMD partitioner falls back to "involuntary full
+  rematerialization" when resharding them into the (ZeRO-1) optimizer
+  shardings. Gradients are logically replicated after the implicit
+  data-axis psum, so the constraint is semantically free and turns the
+  awkward transition into a plain all-gather at the point of production.
+  No-op when mesh is None (single-device tests).
+  """
+  if mesh is None:
+    return tree
+  from jax.sharding import NamedSharding, PartitionSpec
+  rep = NamedSharding(mesh, PartitionSpec())
+  return jax.tree_util.tree_map(
+      lambda g: jax.lax.with_sharding_constraint(g, rep), tree)
+
+
 def _prepare_inputs(inputs: Dict[str, jnp.ndarray], hp: GANHParams):
   inputs = dict(inputs)
   if not hp.mask_blurred:
@@ -146,7 +166,7 @@ def _disc_pair_input(generated, depth_out, inputs, hp: GANHParams):
 
 
 def train_d_step(state: TrainState, inputs, *, generator, discriminator,
-                 d_tx, hp: GANHParams) -> TrainState:
+                 d_tx, hp: GANHParams, mesh=None) -> TrainState:
   """D-only update; G runs forward in train mode (stats update, no grads),
   reference se3ds_trainer.py:275-338."""
   inputs = _prepare_inputs(inputs, hp)
@@ -157,6 +177,7 @@ def train_d_step(state: TrainState, inputs, *, generator, discriminator,
   depth_out = jax.lax.stop_gradient(depth_out)
 
   def disc_loss_fn(d_params):
+    d_params = _replicate_tree(d_params, mesh)
     all_input = _disc_pair_input(generated, depth_out, inputs, hp)
     logit_outputs, new_d_state = _disc_forward(
         discriminator, d_params, state.d_state, all_input, train=True,
@@ -168,6 +189,7 @@ def train_d_step(state: TrainState, inputs, *, generator, discriminator,
 
   (disc_loss, new_d_state), d_grads = jax.value_and_grad(
       disc_loss_fn, has_aux=True)(state.d_params)
+  d_grads = _replicate_tree(d_grads, mesh)
   d_grads = losses_lib.clip_grad_per_leaf(d_grads, hp.grad_clip_norm)
   d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
                                      state.d_params)
@@ -178,7 +200,7 @@ def train_d_step(state: TrainState, inputs, *, generator, discriminator,
 
 
 def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
-                   g_tx, d_tx, hp: GANHParams
+                   g_tx, d_tx, hp: GANHParams, mesh=None
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
   """Joint G+D update (reference se3ds_trainer.py:129-273)."""
   inputs = _prepare_inputs(inputs, hp)
@@ -189,6 +211,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
       jnp.sum(target_spatial_mask, axis=(1, 2, 3)), 1.0)
 
   def gen_loss_fn(g_params):
+    g_params = _replicate_tree(g_params, mesh)
     g_out, new_g_state = _generator_forward(
         generator, g_params, state.g_state, inputs, train=True,
         remat=hp.remat)
@@ -231,6 +254,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
 
   (gen_loss, aux), g_grads = jax.value_and_grad(
       gen_loss_fn, has_aux=True)(state.g_params)
+  g_grads = _replicate_tree(g_grads, mesh)
   g_grads = losses_lib.clip_grad_per_leaf(g_grads, hp.grad_clip_norm)
   gen_grad_norm = losses_lib.mean_leaf_norm(g_grads)
   g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt_state,
@@ -241,6 +265,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
   depth_out = jax.lax.stop_gradient(aux['depth_out'])
 
   def disc_loss_fn(d_params):
+    d_params = _replicate_tree(d_params, mesh)
     all_input = _disc_pair_input(generated, depth_out, inputs, hp)
     logit_outputs, new_d_state = _disc_forward(
         discriminator, d_params, state.d_state, all_input, train=True,
@@ -251,6 +276,7 @@ def train_g_d_step(state: TrainState, inputs, *, generator, discriminator,
 
   (disc_loss, new_d_state), d_grads = jax.value_and_grad(
       disc_loss_fn, has_aux=True)(state.d_params)
+  d_grads = _replicate_tree(d_grads, mesh)
   d_grads = losses_lib.clip_grad_per_leaf(d_grads, hp.grad_clip_norm)
   dis_grad_norm = losses_lib.mean_leaf_norm(d_grads)
   d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
@@ -304,7 +330,7 @@ def update_ema(step, ema_params, ema_state, g_params, g_state,
 
 
 def train_cluster(state: TrainState, batches, *, generator, discriminator,
-                  g_tx, d_tx, hp: GANHParams
+                  g_tx, d_tx, hp: GANHParams, mesh=None
                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
   """Fuses several train steps into one program with `lax.scan`.
 
@@ -318,7 +344,7 @@ def train_cluster(state: TrainState, batches, *, generator, discriminator,
   def body(carry, batch):
     new_state, metrics = train_step(
         carry, batch, generator=generator, discriminator=discriminator,
-        g_tx=g_tx, d_tx=d_tx, hp=hp)
+        g_tx=g_tx, d_tx=d_tx, hp=hp, mesh=mesh)
     return new_state, metrics
 
   state, metrics = jax.lax.scan(body, state, batches)
@@ -326,7 +352,7 @@ def train_cluster(state: TrainState, batches, *, generator, discriminator,
 
 
 def train_step(state: TrainState, batch, *, generator, discriminator,
-               g_tx, d_tx, hp: GANHParams
+               g_tx, d_tx, hp: GANHParams, mesh=None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
   """One fused cluster element: split batch, (k-1) D steps + 1 G+D step
   (reference gan_manager.py:376-385)."""
@@ -336,9 +362,10 @@ def train_step(state: TrainState, batch, *, generator, discriminator,
   chunks = [{key: splits[key][i] for key in batch} for i in range(k)]
   for i in range(k - 1):
     state = train_d_step(state, chunks[i], generator=generator,
-                         discriminator=discriminator, d_tx=d_tx, hp=hp)
+                         discriminator=discriminator, d_tx=d_tx, hp=hp,
+                         mesh=mesh)
   state, metrics = train_g_d_step(state, chunks[-1], generator=generator,
                                   discriminator=discriminator, g_tx=g_tx,
-                                  d_tx=d_tx, hp=hp)
+                                  d_tx=d_tx, hp=hp, mesh=mesh)
   state = state.replace(step=state.step + 1)
   return state, metrics

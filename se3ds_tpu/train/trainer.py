@@ -286,7 +286,7 @@ class Trainer:
         functools.partial(
             state_lib.train_cluster, generator=self.generator,
             discriminator=self.discriminator, g_tx=self.g_tx,
-            d_tx=self.d_tx, hp=self.hp),
+            d_tx=self.d_tx, hp=self.hp, mesh=self.mesh),
         out_shardings=(state_shardings, rep), donate_argnums=(0,))
 
     log.info('Start Training...')
