@@ -61,6 +61,8 @@ def main():
           c, f, H, W, DEPTH_SCALE, -1.0)),
       'fast': jax.jit(lambda c, f: splat.project_to_feat_fast(
           c, f, H, W, DEPTH_SCALE, -1.0)),
+      'fast_exact': jax.jit(lambda c, f: splat.project_to_feat_fast_exact(
+          c, f, H, W, DEPTH_SCALE, -1.0)),
       'pallas': jax.jit(lambda c, f: splat_pallas.project_to_feat_pallas(
           c, f, H, W, DEPTH_SCALE, -1.0)),
   }

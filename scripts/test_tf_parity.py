@@ -6,7 +6,15 @@ se3ds_tpu.train.tf_import.convert_tf_checkpoint, and compares forward
 outputs (eval mode) between the reference TF model and this framework's
 Flax model on the same inputs.
 
+Covers the production grammar (configs/lowres/lowres.gin:29-33): the
+generator at resnet_version '50' AND '101' (small gen_dims so CPU can
+build it), and the discriminator at both the toy (n_layers=3) and the
+production (n_dis=2, n_layers=6) depths. Asserts the fp32-achievable
+tolerance (observed ~1e-7 max; asserted <= 1e-5, PARITY.md).
+
 Run on CPU: JAX_PLATFORMS=cpu python scripts/test_tf_parity.py
+Env: SE3DS_PARITY_GEN_VERSIONS (default "50,101"),
+     SE3DS_PARITY_DIS_LAYERS (default "3,6").
 """
 
 import os
@@ -22,11 +30,11 @@ import tempfile
 
 import numpy as np
 
+TOLERANCE = 1e-5  # fp32-achievable; observed ~1e-7 (PARITY.md)
 
-def main():
+
+def generator_parity(version: str):
   import jax
-  if os.environ.get('JAX_PLATFORMS') == 'cpu':
-    jax.config.update('jax_platforms', 'cpu')
   import jax.numpy as jnp
   import tensorflow as tf
   from _ref_tf import import_reference_models
@@ -35,7 +43,7 @@ def main():
 
   image_models = import_reference_models()
 
-  size, gen_dims, version = 64, 4, '50'
+  size, gen_dims = 64, 4
   h, w = size, size * 2
   rng = np.random.RandomState(0)
   cond_np = {
@@ -55,7 +63,7 @@ def main():
   ckpt = tf.train.Checkpoint(ema_generator=tf_gen)
   ckpt_dir = tempfile.mkdtemp()
   ckpt_path = ckpt.save(os.path.join(ckpt_dir, 'ck'))
-  print('reference forward + checkpoint done')
+  print(f'[gen R{version}] reference forward + checkpoint done')
 
   # Flax model template + conversion.
   flax_gen = gen_lib.ResNetGenerator(
@@ -63,7 +71,7 @@ def main():
   cond = {k: jnp.asarray(v) for k, v in cond_np.items()}
   template = flax_gen.init(jax.random.PRNGKey(0), cond, train=False)
   variables = tf_import.convert_tf_checkpoint(ckpt_path, template)
-  print('conversion resolved every leaf')
+  print(f'[gen R{version}] conversion resolved every leaf')
 
   outs = flax_gen.apply(variables, cond, train=False)
   jax_rgb = np.asarray(outs[6])
@@ -71,17 +79,15 @@ def main():
 
   rgb_err = np.abs(jax_rgb - tf_rgb).max()
   depth_err = np.abs(jax_depth - tf_depth).max()
-  print(f'max |rgb diff| = {rgb_err:.2e}, max |depth diff| = {depth_err:.2e}')
-  assert rgb_err < 5e-3, rgb_err
-  assert depth_err < 5e-3, depth_err
-  print('PARITY OK: converted checkpoint reproduces reference outputs')
+  print(f'[gen R{version}] max |rgb diff| = {rgb_err:.2e}, '
+        f'max |depth diff| = {depth_err:.2e}')
+  assert rgb_err < TOLERANCE, rgb_err
+  assert depth_err < TOLERANCE, depth_err
+  print(f'[gen R{version}] PARITY OK: converted checkpoint reproduces '
+        'reference outputs')
 
 
-if __name__ == '__main__':
-  main()
-
-
-def discriminator_parity():
+def discriminator_parity(n_layers: int, n_dis: int = 2):
   import jax
   import jax.numpy as jnp
   import tensorflow as tf
@@ -90,7 +96,7 @@ def discriminator_parity():
   from se3ds_tpu.train import tf_import
 
   image_models = import_reference_models()
-  n_dis, dis_dims, n_layers = 2, 4, 3
+  dis_dims = 4
   rng = np.random.RandomState(1)
   x = rng.rand(2, 64, 128, 4).astype(np.float32)
 
@@ -111,10 +117,23 @@ def discriminator_parity():
   for sub_tf, sub_fx in zip(tf_out, flax_out):
     for a, b in zip(sub_tf, sub_fx):
       max_err = max(max_err, float(np.abs(a.numpy() - np.asarray(b)).max()))
-  print(f'discriminator max |diff| = {max_err:.2e}')
-  assert max_err < 5e-3, max_err
-  print('DISCRIMINATOR PARITY OK')
+  print(f'[dis n_layers={n_layers} n_dis={n_dis}] max |diff| = {max_err:.2e}')
+  assert max_err < TOLERANCE, max_err
+  print(f'[dis n_layers={n_layers} n_dis={n_dis}] DISCRIMINATOR PARITY OK')
 
 
-if __name__ == '__main__' and os.environ.get('SE3DS_PARITY_DIS', '1') == '1':
-  discriminator_parity()
+def main():
+  import jax
+  if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+  versions = os.environ.get('SE3DS_PARITY_GEN_VERSIONS', '50,101')
+  for version in [v for v in versions.split(',') if v]:
+    generator_parity(version)
+  layer_counts = os.environ.get('SE3DS_PARITY_DIS_LAYERS', '3,6')
+  for n_layers in [int(v) for v in layer_counts.split(',') if v]:
+    discriminator_parity(n_layers)
+  print('ALL PARITY CASES OK')
+
+
+if __name__ == '__main__':
+  main()

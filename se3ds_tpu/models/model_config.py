@@ -24,7 +24,19 @@ class SE3DSConfig:
   # TPU-native additions.
   memory_frames: int = constants.PANO_VIDEO_LENGTH  # memory capacity in frames
   compute_dtype: str = 'float32'  # 'bfloat16' for faster inference
-  splat_mode: str = 'fast'  # 'scatter'|'sorted'|'fast' (see ops/splat.py)
+  # Guidance-splat winner selection (ops/splat.py; timings/deviation at
+  # 1M points from PERF.md "Fast-splat deviation"):
+  #   'scatter'    exact reference semantics, 35.8 ms
+  #   'sorted'     exact, sort-based (eval default), 53 ms
+  #   'fast'       packed single-scatter, 16.0 ms — DEFAULT. Deviates
+  #                from exact only at multi-point collision windows:
+  #                on an adversarial dense-overlap scene ~18-23% of
+  #                valid pixels differ (mean |delta| 2-11/255 by
+  #                texture); depth output is always exact.
+  #   'fast_exact' exact 0.1 m window + packed tie-break, 23.4 ms —
+  #                bit-identical to 'scatter' at single-point windows.
+  #   'pallas'     Mosaic kernel with 'fast' semantics (auto-degrades).
+  splat_mode: str = 'fast'
   # Fold spectral norms into kernels once at load (bitwise-equal at eval,
   # models/folding.py) instead of re-normalising every weight per forward.
   fold_spectral: bool = True

@@ -82,7 +82,7 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
   return jnp.stack([xs, ys, zs], axis=0).reshape(3, -1)
 
 
-SPLAT_MODES = ('scatter', 'sorted', 'fast', 'pallas')
+SPLAT_MODES = ('scatter', 'sorted', 'fast', 'fast_exact', 'pallas')
 
 
 def project_feats_to_equirectangular(
@@ -110,8 +110,9 @@ def project_feats_to_equirectangular(
     depth_scale: Maximum depth in metres.
     use_sorted_splat: Legacy alias for splat_mode='sorted'.
     splat_mode: 'scatter' (exact, default), 'sorted' (exact, sort-based),
-      or 'fast' (packed single-scatter; byte-quantised winner selection,
-      see splat.project_to_feat_fast).
+      'fast' (packed single-scatter; byte-quantised winner selection,
+      see splat.project_to_feat_fast), or 'fast_exact' (exact 0.1 m
+      window + packed tie-break, splat.project_to_feat_fast_exact).
 
   Returns:
     reprojected_depth: (N, H, W) depth in [0, 1].
@@ -151,6 +152,7 @@ def project_feats_to_equirectangular(
         'scatter': splat.project_to_feat,
         'sorted': splat.project_to_feat_sorted,
         'fast': splat.project_to_feat_fast,
+        'fast_exact': splat.project_to_feat_fast_exact,
     }[splat_mode]
   return splat_fn(proj_xyz1, feats.astype(dtype), height, width,
                   depth_scale=depth_scale, input_void_class=void_class)
