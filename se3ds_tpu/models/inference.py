@@ -154,18 +154,26 @@ def memory_add_pano(memory: MemoryState,
 
 def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
                    width: int, depth_scale: float,
-                   splat_mode: str = 'fast'):
+                   splat_mode: str = 'fast',
+                   project_semantics: bool = True):
   """Splats the memory at a target pose into guidance images.
 
   Returns (proj_semantic (N,H,W,1) f32, proj_depth (N,H,W), proj_rgb
-  (N,H,W,3), proj_mask (N,H,W,1)).
+  (N,H,W,3), proj_mask (N,H,W,1)). With `project_semantics=False` the
+  semantic splat — which only feeds OutputData, never the generator —
+  is skipped and proj_semantic is all-zero (~9 ms/frame saved at
+  1024x512, see SE3DSConfig.project_semantics).
   """
   relative_position = _transform_position(position.astype(jnp.float32))
-  relative_coords = memory.coords - relative_position[..., None]
   relative_rgb_coords = memory.rgb_coords - relative_position[..., None]
-  _, proj_semantic = geometry.project_feats_to_equirectangular(
-      memory.feats, relative_coords, height, width,
-      constants.INVALID_SEM_VALUE, depth_scale, splat_mode=splat_mode)
+  if project_semantics:
+    relative_coords = memory.coords - relative_position[..., None]
+    _, proj_semantic = geometry.project_feats_to_equirectangular(
+        memory.feats, relative_coords, height, width,
+        constants.INVALID_SEM_VALUE, depth_scale, splat_mode=splat_mode)
+  else:
+    batch = memory.coords.shape[0]
+    proj_semantic = jnp.zeros((batch, height, width, 1), jnp.float32)
   proj_depth, proj_rgb = geometry.project_feats_to_equirectangular(
       memory.rgb, relative_rgb_coords, height, width,
       constants.INVALID_RGB_VALUE, depth_scale, splat_mode=splat_mode)
@@ -331,7 +339,8 @@ class SE3DSModel:
         cursor=memory.cursor)
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
         live, position, self.height, self.width, self.depth_scale,
-        splat_mode=self.config.splat_mode)
+        splat_mode=self.config.splat_mode,
+        project_semantics=self.config.project_semantics)
     proj_semantic_img = proj_semantic[..., 0]
     proj_rgb_norm = jnp.clip(proj_rgb / 255.0, 0.0, 1.0)
 

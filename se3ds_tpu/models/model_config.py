@@ -40,6 +40,14 @@ class SE3DSConfig:
   # Fold spectral norms into kernels once at load (bitwise-equal at eval,
   # models/folding.py) instead of re-normalising every weight per forward.
   fold_spectral: bool = True
+  # Compute the semantic guidance projection. The generator never
+  # consumes it (its inputs are the RGB/depth/mask guidance only,
+  # reference image_models.py:157-162); it exists solely to fill
+  # OutputData.proj_semantic. RGB-only serving clients can set False to
+  # skip the whole semantic splat (~9 ms/frame at 1024x512, PERF.md):
+  # proj_semantic/pred_semantic then come back all-zero while every
+  # other output is bit-identical.
+  project_semantics: bool = True
 
 
 def get_config() -> SE3DSConfig:

@@ -85,6 +85,34 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
 SPLAT_MODES = ('scatter', 'sorted', 'fast', 'fast_exact', 'pallas')
 
 
+def equirect_view_coords(xyz1: jnp.ndarray) -> jnp.ndarray:
+  """Maps (N, 4, M) world points to equirect synthetic view coordinates.
+
+  The elementwise half of the projection (reference pano_utils.py:117-146):
+  xyz -> (heading, elevation, radius) -> image-plane coordinates whose
+  perspective divide lands on pano pixels. Factored out so the sharded
+  splat (parallel/splat_shard.py) can apply it per point shard.
+  """
+  dtype = xyz1.dtype
+  x, y, z = xyz1[:, 0, :], xyz1[:, 1, :], xyz1[:, 2, :]
+  rad = jnp.sqrt(x**2 + y**2 + z**2)
+  # Heading from the x-axis rotating left, re-based to the left edge of the
+  # pano rotating right, wrapped into (0, 2*pi].
+  heading = jnp.arctan2(y, x)
+  heading = 1.5 * math.pi - heading
+  heading = heading + (2 * math.pi) * (heading <= 0).astype(dtype)
+  heading = heading - (2 * math.pi) * (heading > (2 * math.pi)).astype(dtype)
+  # divide_no_nan: elevation of the origin point maps to acos(0) = pi/2.
+  cos_elev = jnp.where(rad == 0, 0.0, z / jnp.where(rad == 0, 1.0, rad))
+  elevation = jnp.arccos(jnp.clip(cos_elev, -1.0, 1.0))
+
+  proj_x = rad * ((heading / (2 * math.pi)) * 2 - 1)
+  proj_y = rad * ((elevation / math.pi) * 2 - 1)
+  proj_z = rad
+  return jnp.stack([proj_x, proj_y, proj_z, jnp.ones_like(proj_x)],
+                   axis=1).astype(dtype)
+
+
 def project_feats_to_equirectangular(
     feats: jnp.ndarray,
     xyz1: jnp.ndarray,
@@ -118,24 +146,8 @@ def project_feats_to_equirectangular(
     reprojected_depth: (N, H, W) depth in [0, 1].
     reprojected_feats: (N, H, W[, C]) feature image.
   """
+  proj_xyz1 = equirect_view_coords(xyz1)
   dtype = xyz1.dtype
-  x, y, z = xyz1[:, 0, :], xyz1[:, 1, :], xyz1[:, 2, :]
-  rad = jnp.sqrt(x**2 + y**2 + z**2)
-  # Heading from the x-axis rotating left, re-based to the left edge of the
-  # pano rotating right, wrapped into (0, 2*pi].
-  heading = jnp.arctan2(y, x)
-  heading = 1.5 * math.pi - heading
-  heading = heading + (2 * math.pi) * (heading <= 0).astype(dtype)
-  heading = heading - (2 * math.pi) * (heading > (2 * math.pi)).astype(dtype)
-  # divide_no_nan: elevation of the origin point maps to acos(0) = pi/2.
-  cos_elev = jnp.where(rad == 0, 0.0, z / jnp.where(rad == 0, 1.0, rad))
-  elevation = jnp.arccos(jnp.clip(cos_elev, -1.0, 1.0))
-
-  proj_x = rad * ((heading / (2 * math.pi)) * 2 - 1)
-  proj_y = rad * ((elevation / math.pi) * 2 - 1)
-  proj_z = rad
-  proj_xyz1 = jnp.stack([proj_x, proj_y, proj_z, jnp.ones_like(proj_x)],
-                        axis=1).astype(dtype)
   if splat_mode is None:
     splat_mode = 'sorted' if use_sorted_splat else 'scatter'
   if splat_mode == 'pallas':

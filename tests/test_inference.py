@@ -180,3 +180,29 @@ def test_forward_compiles_are_bucketed():
   max_compiles = (config.memory_frames - 1).bit_length() + 1
   assert model._jit_call._cache_size() <= max_compiles, (
       model._jit_call._cache_size(), max_compiles)
+
+
+def test_project_semantics_off_bit_identical_rgb():
+  """project_semantics=False skips the semantic splat: proj/pred_semantic
+  come back all-zero, every other output is bit-identical."""
+  import dataclasses
+  rgb, sem, depth = _synthetic_pano(32, seed=7)
+  pos = np.zeros((1, 3), np.float32)
+  target = np.asarray([[0.2, 0.1, 0.0]], np.float32)
+
+  outs = {}
+  for flag in (True, False):
+    config = dataclasses.replace(model_config.get_test_config(),
+                                 project_semantics=flag)
+    m = inference.SE3DSModel(config)
+    m.add_to_memory(rgb, sem, depth, pos)
+    outs[flag] = m(target)
+
+  on, off = outs[True], outs[False]
+  assert np.any(np.asarray(on.proj_semantic) != 0)
+  assert not np.any(np.asarray(off.proj_semantic))
+  for field in ('proj_rgb', 'pred_rgb', 'proj_depth', 'pred_depth',
+                'proj_mask'):
+    np.testing.assert_array_equal(
+        np.asarray(getattr(on, field)), np.asarray(getattr(off, field)),
+        err_msg=field)
