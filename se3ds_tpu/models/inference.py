@@ -155,7 +155,8 @@ def memory_add_pano(memory: MemoryState,
 def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
                    width: int, depth_scale: float,
                    splat_mode: str = 'fast',
-                   project_semantics: bool = True):
+                   project_semantics: bool = True,
+                   mesh=None, mesh_axis: str = 'data'):
   """Splats the memory at a target pose into guidance images.
 
   Returns (proj_semantic (N,H,W,1) f32, proj_depth (N,H,W), proj_rgb
@@ -163,20 +164,33 @@ def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
   semantic splat — which only feeds OutputData, never the generator —
   is skipped and proj_semantic is all-zero (~9 ms/frame saved at
   1024x512, see SE3DSConfig.project_semantics).
+
+  With `mesh`, the point dimension of both splats is sharded over
+  `mesh_axis` (parallel/splat_shard.py): each device scatters M/n
+  points and the z-buffers merge over ICI — bit-identical combines,
+  near-linear splat scaling in devices for long-trajectory memories.
   """
+  if mesh is not None:
+    from se3ds_tpu.parallel import splat_shard  # lazy import
+    project = functools.partial(
+        splat_shard.project_feats_to_equirectangular_sharded,
+        mesh=mesh, axis=mesh_axis, splat_mode=splat_mode)
+  else:
+    project = functools.partial(
+        geometry.project_feats_to_equirectangular, splat_mode=splat_mode)
   relative_position = _transform_position(position.astype(jnp.float32))
   relative_rgb_coords = memory.rgb_coords - relative_position[..., None]
   if project_semantics:
     relative_coords = memory.coords - relative_position[..., None]
-    _, proj_semantic = geometry.project_feats_to_equirectangular(
+    _, proj_semantic = project(
         memory.feats, relative_coords, height, width,
-        constants.INVALID_SEM_VALUE, depth_scale, splat_mode=splat_mode)
+        constants.INVALID_SEM_VALUE, depth_scale)
   else:
     batch = memory.coords.shape[0]
     proj_semantic = jnp.zeros((batch, height, width, 1), jnp.float32)
-  proj_depth, proj_rgb = geometry.project_feats_to_equirectangular(
+  proj_depth, proj_rgb = project(
       memory.rgb, relative_rgb_coords, height, width,
-      constants.INVALID_RGB_VALUE, depth_scale, splat_mode=splat_mode)
+      constants.INVALID_RGB_VALUE, depth_scale)
   proj_mask = (
       (proj_depth > 0) & (proj_depth < 1)
       & jnp.all(proj_rgb != constants.INVALID_RGB_VALUE, axis=-1)
@@ -192,7 +206,24 @@ class SE3DSModel:
   """
 
   def __init__(self, config: model_config.SE3DSConfig,
-               variables=None, rng: Optional[jax.Array] = None):
+               variables=None, rng: Optional[jax.Array] = None,
+               mesh=None, mesh_axis: str = 'data'):
+    """Args beyond the reference surface:
+
+    mesh/mesh_axis: optional `jax.sharding.Mesh` — shards the point
+      dimension of the memory splats over `mesh_axis`
+      (parallel/splat_shard.py; bit-identical combines), so splat
+      wall-clock scales ~linearly with devices on long trajectories
+      while the generator stays replicated. Requires a splat_mode the
+      sharded path supports ('fast', 'fast_exact', 'scatter').
+    """
+    if mesh is not None and config.splat_mode not in (
+        'fast', 'fast_exact', 'scatter'):
+      raise ValueError(
+          f"splat_mode={config.splat_mode!r} has no sharded path; use "
+          "'fast', 'fast_exact', or 'scatter' with a mesh.")
+    self.mesh = mesh
+    self.mesh_axis = mesh_axis
     self.config = config
     if config.batch_size != 1:
       raise ValueError('Several methods do not support batch_size > 1.')
@@ -340,7 +371,8 @@ class SE3DSModel:
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
         live, position, self.height, self.width, self.depth_scale,
         splat_mode=self.config.splat_mode,
-        project_semantics=self.config.project_semantics)
+        project_semantics=self.config.project_semantics,
+        mesh=self.mesh, mesh_axis=self.mesh_axis)
     proj_semantic_img = proj_semantic[..., 0]
     proj_rgb_norm = jnp.clip(proj_rgb / 255.0, 0.0, 1.0)
 

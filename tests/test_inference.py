@@ -206,3 +206,42 @@ def test_project_semantics_off_bit_identical_rgb():
     np.testing.assert_array_equal(
         np.asarray(getattr(on, field)), np.asarray(getattr(off, field)),
         err_msg=field)
+
+
+def test_mesh_sharded_model_matches_single_device():
+  """SE3DSModel(mesh=...) shards the splat point axis over 8 devices;
+  outputs match the single-device model (projections bit-equal up to
+  fusion ULPs in depth; generator outputs within float tolerance)."""
+  import jax
+  from se3ds_tpu.parallel import mesh as mesh_lib
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 devices')
+  mesh8 = mesh_lib.create_mesh(num_data=8, num_spatial=1)
+
+  rgb, sem, depth = _synthetic_pano(32, seed=11)
+  pos = np.zeros((1, 3), np.float32)
+  target = np.asarray([[0.3, -0.1, 0.05]], np.float32)
+
+  outs = {}
+  for mesh in (None, mesh8):
+    config = model_config.get_test_config()
+    m = inference.SE3DSModel(config, mesh=mesh)
+    m.add_to_memory(rgb, sem, depth, pos)
+    outs[mesh is None] = m(target)
+
+  single, sharded = outs[True], outs[False]
+  # Packed-feature projections are bit-equal (associative combines).
+  for field in ('proj_rgb', 'proj_semantic', 'proj_mask'):
+    np.testing.assert_array_equal(
+        np.asarray(getattr(single, field)),
+        np.asarray(getattr(sharded, field)), err_msg=field)
+  # Depth and generator outputs may differ by fusion ULPs.
+  np.testing.assert_allclose(
+      np.asarray(single.proj_depth), np.asarray(sharded.proj_depth),
+      rtol=0, atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(single.pred_depth), np.asarray(sharded.pred_depth),
+      rtol=0, atol=1e-4)
+  assert np.max(np.abs(
+      np.asarray(single.pred_rgb, np.int32)
+      - np.asarray(sharded.pred_rgb, np.int32))) <= 1
