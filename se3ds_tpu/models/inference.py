@@ -213,9 +213,15 @@ class SE3DSModel:
     mesh/mesh_axis: optional `jax.sharding.Mesh` — shards the point
       dimension of the memory splats over `mesh_axis`
       (parallel/splat_shard.py; bit-identical combines), so splat
-      wall-clock scales ~linearly with devices on long trajectories
-      while the generator stays replicated. Requires a splat_mode the
-      sharded path supports ('fast', 'fast_exact', 'scatter').
+      wall-clock scales ~linearly with devices on long trajectories.
+      Requires a splat_mode the sharded path supports ('fast',
+      'fast_exact', 'scatter'). If the mesh also has a 'spatial' axis
+      of size > 1, the generator forward is spatially partitioned:
+      activations shard the pano height over 'spatial' (GSPMD inserts
+      the conv halo exchanges), dividing per-device generator FLOPs and
+      activation memory for high-resolution panoramas. The reference
+      has no distributed inference at all (models.py:239-245 is a
+      single-device concat).
     """
     if mesh is not None and config.splat_mode not in (
         'fast', 'fast_exact', 'scatter'):
@@ -224,6 +230,9 @@ class SE3DSModel:
           "'fast', 'fast_exact', or 'scatter' with a mesh.")
     self.mesh = mesh
     self.mesh_axis = mesh_axis
+    self._spatial_shard = bool(
+        mesh is not None and 'spatial' in mesh.axis_names
+        and mesh.shape['spatial'] > 1)
     self.config = config
     if config.batch_size != 1:
       raise ValueError('Several methods do not support batch_size > 1.')
@@ -383,6 +392,16 @@ class SE3DSModel:
         'proj_mask': proj_mask,
         'blurred_mask': jnp.zeros_like(proj_mask),
     }
+    if self._spatial_shard:
+      # Spatially partitioned generator: shard the pano height (NHWC
+      # axis 1) over the mesh 'spatial' axis. GSPMD propagates the
+      # annotation through every conv (inserting halo exchanges) so the
+      # whole forward runs height-partitioned; the width axis carries
+      # the circular wrap and stays whole.
+      from jax.sharding import NamedSharding, PartitionSpec  # lazy
+      row_sharding = NamedSharding(self.mesh, PartitionSpec(None, 'spatial'))
+      inputs = {k: jax.lax.with_sharding_constraint(v, row_sharding)
+                for k, v in inputs.items()}
     (mu, logvar, _, pred_depth, pred_semantic, _, generated_rgb
      ) = self.model.apply(variables, inputs, train=False)
     pred_depth = jnp.clip(pred_depth[..., 0], 0.0, 1.0)

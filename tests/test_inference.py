@@ -208,6 +208,46 @@ def test_project_semantics_off_bit_identical_rgb():
         err_msg=field)
 
 
+def test_spatial_sharded_generator_model_matches_single_device():
+  """SE3DSModel on a (2 data x 4 spatial) mesh: splat points sharded
+  over 'data' AND the generator spatially partitioned (pano height over
+  'spatial', GSPMD conv halo exchange); outputs match the single-device
+  model within conv-reassociation float tolerance."""
+  import jax
+  from se3ds_tpu.parallel import mesh as mesh_lib
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 devices')
+  mesh24 = mesh_lib.create_mesh(num_data=2, num_spatial=4)
+
+  rgb, sem, depth = _synthetic_pano(32, seed=13)
+  pos = np.zeros((1, 3), np.float32)
+  target = np.asarray([[0.2, 0.1, -0.05]], np.float32)
+
+  outs = {}
+  for mesh in (None, mesh24):
+    config = model_config.get_test_config()
+    m = inference.SE3DSModel(config, mesh=mesh)
+    if mesh is not None:
+      assert m._spatial_shard
+    m.add_to_memory(rgb, sem, depth, pos)
+    outs[mesh is None] = m(target)
+
+  single, sharded = outs[True], outs[False]
+  for field in ('proj_rgb', 'proj_semantic', 'proj_mask'):
+    np.testing.assert_array_equal(
+        np.asarray(getattr(single, field)),
+        np.asarray(getattr(sharded, field)), err_msg=field)
+  np.testing.assert_allclose(
+      np.asarray(single.proj_depth), np.asarray(sharded.proj_depth),
+      rtol=0, atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(single.pred_depth), np.asarray(sharded.pred_depth),
+      rtol=0, atol=2e-3)
+  assert np.max(np.abs(
+      np.asarray(single.pred_rgb, np.int32)
+      - np.asarray(sharded.pred_rgb, np.int32))) <= 1
+
+
 def test_mesh_sharded_model_matches_single_device():
   """SE3DSModel(mesh=...) shards the splat point axis over 8 devices;
   outputs match the single-device model (projections bit-equal up to
