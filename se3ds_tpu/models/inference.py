@@ -287,7 +287,8 @@ class SE3DSModel:
     self._jit_add = jax.jit(functools.partial(
         memory_add_pano, depth_scale=self.depth_scale),
         static_argnames=('mask_blurred',))
-    self._jit_call = jax.jit(self._forward, static_argnames=('num_frames',))
+    self._jit_call = jax.jit(self._forward,
+                             static_argnames=('num_frames', 'feed'))
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
@@ -362,7 +363,7 @@ class SE3DSModel:
   # -- forward --------------------------------------------------------------
 
   def _forward(self, variables, memory: MemoryState, prev_rgb_frame,
-               position, num_frames: int):
+               position, num_frames: int, feed: bool = False):
     # Live-extent splat: only `num_frames` frames of memory have ever
     # been written (host-side counter); the remaining capacity is void
     # slots the splat would skip anyway, so slicing them off is exact
@@ -405,32 +406,39 @@ class SE3DSModel:
     (mu, logvar, _, pred_depth, pred_semantic, _, generated_rgb
      ) = self.model.apply(variables, inputs, train=False)
     pred_depth = jnp.clip(pred_depth[..., 0], 0.0, 1.0)
-    pc_rgb = jnp.clip((generated_rgb * 255).astype(jnp.int32),
-                      constants.INVALID_RGB_VALUE, 255)
     pred_rgb = (jnp.clip(generated_rgb, 0, 1) * 255).astype(jnp.int32)
     # seg_out is all-zero by the release contract (image_models.py:179-182);
     # argmax of zeros is class 0 — emit it directly instead of
     # materialising the (N, H, W, 42) zero tensor on device.
     pred_semantic = jnp.zeros(pred_semantic.shape[:-1], jnp.int32)
-    return dict(
-        proj_semantic=proj_semantic_img.astype(jnp.int32),
+    # Lean output set: exactly what OutputData needs (~10 MB/frame at
+    # 1024x512). uint8 views are produced inside the jitted program: on
+    # relay backends every eager op outside jit is a separate device
+    # dispatch, and per-dispatch overhead scales with OUTPUT BYTES
+    # (~0.25 ms/MB measured), so the f32/int32 memory-feed tensors
+    # (~28 MB/frame) are only returned when `feed=True`
+    # (add_preds_to_memory).
+    out = dict(
         proj_depth=proj_depth,
-        proj_rgb=proj_rgb_norm,
         proj_mask=proj_mask,
         mu=mu, logvar=logvar,
         pred_depth=pred_depth,
-        pred_semantic=pred_semantic,
-        pred_rgb=pred_rgb,
-        pc_rgb=pc_rgb,
-        generated_rgb=generated_rgb,
-        # uint8 views for OutputData, produced inside the jitted program:
-        # on relay backends every eager op outside jit is a separate
-        # device dispatch (~6 per frame otherwise).
         proj_semantic_u8=proj_semantic_img.astype(jnp.uint8),
         pred_semantic_u8=pred_semantic.astype(jnp.uint8),
         proj_rgb_u8=(proj_rgb_norm * 255).astype(jnp.uint8),
         pred_rgb_u8=jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8),
     )
+    if feed:
+      out.update(
+          proj_semantic=proj_semantic_img.astype(jnp.int32),
+          proj_rgb=proj_rgb_norm,
+          pred_semantic=pred_semantic,
+          pred_rgb=pred_rgb,
+          pc_rgb=jnp.clip((generated_rgb * 255).astype(jnp.int32),
+                          constants.INVALID_RGB_VALUE, 255),
+          generated_rgb=generated_rgb,
+      )
+    return out
 
   def __call__(self, position, add_preds_to_memory: bool = False,
                sample_noise: bool = False,
@@ -448,13 +456,14 @@ class SE3DSModel:
     bucket = 1 << (num_frames - 1).bit_length()
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
                          position,
-                         num_frames=min(bucket, self.config.memory_frames))
+                         num_frames=min(bucket, self.config.memory_frames),
+                         feed=add_preds_to_memory)
 
     pred_rgb_u8 = out['pred_rgb_u8']
     pred_semantic_u8 = out['pred_semantic_u8']
     pred_depth = out['pred_depth']
-    generated_rgb = out['generated_rgb']
     if add_preds_to_memory:
+      generated_rgb = out['generated_rgb']
       self._check_memory_capacity()
       pred_rgb_mem = out['pc_rgb']
       pred_semantic_mem = out['pred_semantic']
