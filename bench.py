@@ -12,7 +12,7 @@ RedNet-101 forward + TF scatter splat). The driver's north star is >=5x
 that anchor.
 
 Env knobs:
-  SE3DS_BENCH_MODE   inference (default) | train
+  SE3DS_BENCH_MODE   inference (default) | train | eval | trajectory
   SE3DS_BENCH_SIZE   image height (default 512; train mode default 128)
   SE3DS_BENCH_DTYPE  float32|bfloat16 (default bfloat16)
   SE3DS_BENCH_FRAMES memory capacity in frames (default 2)
@@ -230,6 +230,72 @@ def bench_eval():
   print(json.dumps(result))
 
 
+def bench_trajectory():
+  """Fused autoregressive trajectory serving: `predict_trajectory` runs
+  splat -> generate -> unproject -> memory-feedback for T frames in ONE
+  XLA program (no host round-trips between frames). Production 1024x512
+  shapes; reports frames/sec/chip.
+
+  Env: SE3DS_BENCH_SIZE (512), SE3DS_BENCH_FRAMES (memory capacity and
+  trajectory length; default 8 -> 1 GT frame + 7 predicted),
+  SE3DS_BENCH_ITERS (5), SE3DS_BENCH_GENDIMS (128), SE3DS_BENCH_SPLAT.
+  """
+  import jax.numpy as jnp
+  import numpy as np
+  from se3ds_tpu.models import inference, model_config
+
+  size = int(os.environ.get('SE3DS_BENCH_SIZE', 512))
+  dtype = os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
+  frames = int(os.environ.get('SE3DS_BENCH_FRAMES', 8))
+  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 5))
+  gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 128))
+
+  config = model_config.SE3DSConfig(
+      ckpt_path=None, image_height=size, gen_dims=gen_dims,
+      resnet_version='101', memory_frames=frames, compute_dtype=dtype,
+      splat_mode=os.environ.get('SE3DS_BENCH_SPLAT', 'fast'))
+  model = inference.SE3DSModel(config)
+
+  h, w = size, size * 2
+  rng = np.random.RandomState(0)
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+  mem0, prev0 = model.get_memory_state(), model.prev_rgb_frame
+
+  t_len = frames - 1
+  targets = (rng.uniform(-1, 1, (t_len, 1, 3)).astype(np.float32)
+             * np.array([1, 1, 0.1], np.float32))
+
+  def restore():
+    # Bypass set_memory_state: its cursor fetch is a host sync that
+    # would serialise the timing loop.
+    model._memory, model.prev_rgb_frame = mem0, prev0
+    model._frames_written = 1
+
+  out = model.predict_trajectory(targets)  # compile
+  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+  t0 = time.perf_counter()
+  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+  fetch_latency = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    restore()
+    out = model.predict_trajectory(targets)
+  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  frames_per_sec = iters * t_len / elapsed
+  print(json.dumps({
+      'metric': (f'{w}x{h} fused-trajectory panoramas/sec/chip '
+                 f'(T={t_len} autoregressive frames/program)'),
+      'value': round(frames_per_sec, 4),
+      'unit': 'panoramas/sec',
+      'vs_baseline': round(frames_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),
+  }))
+
+
 def main():
   mode = os.environ.get('SE3DS_BENCH_MODE', 'inference')
   if mode == 'train':
@@ -237,6 +303,9 @@ def main():
     return
   if mode == 'eval':
     bench_eval()
+    return
+  if mode == 'trajectory':
+    bench_trajectory()
     return
   import jax
   import jax.numpy as jnp

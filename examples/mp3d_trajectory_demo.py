@@ -32,6 +32,10 @@ def main():
   parser.add_argument('--rgb', default=None, help='Source pano PNG path.')
   parser.add_argument('--depth', default=None,
                       help='Source 16-bit depth PNG path.')
+  parser.add_argument('--fused', action='store_true',
+                      help='Synthesise the whole trajectory with one '
+                      'predict_trajectory call (single XLA program) '
+                      'instead of per-frame host dispatch.')
   args = parser.parse_args()
 
   from se3ds_tpu.data import png as png_lib
@@ -59,15 +63,26 @@ def main():
 
   model.add_to_memory(rgb, semantic, depth, np.zeros((1, 3), np.float32))
   step = np.array([[0.4, 0.0, 0.0]], np.float32)
-  position = np.zeros((1, 3), np.float32)
-  for i in range(args.frames):
-    position = position + step
-    out = model(position, add_preds_to_memory=True)
-    frame = np.asarray(out.pred_rgb[0])
+
+  def write_frame(i, frame, coverage):
     with open(os.path.join(args.out, f'frame_{i}.png'), 'wb') as f:
       f.write(png_lib.encode_png(frame))
     print(f'frame {i}: wrote {args.out}/frame_{i}.png '
-          f'(guidance coverage {float(np.asarray(out.proj_mask).mean()):.3f})')
+          f'(guidance coverage {coverage:.3f})')
+
+  if args.fused:
+    positions = step[0] * np.arange(1, args.frames + 1)[:, None]
+    traj = model.predict_trajectory(positions.astype(np.float32))
+    masks = np.asarray(traj.proj_mask)
+    for i in range(args.frames):
+      write_frame(i, np.asarray(traj.pred_rgb[i, 0]), float(masks[i].mean()))
+  else:
+    position = np.zeros((1, 3), np.float32)
+    for i in range(args.frames):
+      position = position + step
+      out = model(position, add_preds_to_memory=True)
+      write_frame(i, np.asarray(out.pred_rgb[0]),
+                  float(np.asarray(out.proj_mask).mean()))
   model.write_memory_as_pointcloud(os.path.join(args.out, 'memory.ply'))
   print(f'wrote {args.out}/memory.ply')
 

@@ -69,17 +69,37 @@ class OutputData(NamedTuple):
   proj_mask: Optional[jnp.ndarray] = None
 
 
-def init_memory(batch_size: int, capacity: int) -> MemoryState:
-  """Creates an empty memory; all slots hold void features."""
+def init_memory(batch_size: int, capacity: int,
+                rgb_capacity: Optional[int] = None) -> MemoryState:
+  """Creates an empty memory; all slots hold void features.
+
+  Args:
+    batch_size: N.
+    capacity: Semantic-cloud slot count.
+    rgb_capacity: RGB-cloud slot count; defaults to `capacity`. Smaller
+      when pole compaction is on (see `pole_valid_rows`).
+  """
+  rgb_capacity = capacity if rgb_capacity is None else rgb_capacity
   return MemoryState(
       coords=jnp.zeros((batch_size, 4, capacity), jnp.float32),
       feats=jnp.full((batch_size, capacity, 1),
                      float(constants.INVALID_SEM_VALUE), jnp.float32),
-      rgb_coords=jnp.zeros((batch_size, 4, capacity), jnp.float32),
-      rgb=jnp.full((batch_size, capacity, 3),
+      rgb_coords=jnp.zeros((batch_size, 4, rgb_capacity), jnp.float32),
+      rgb=jnp.full((batch_size, rgb_capacity, 3),
                    float(constants.INVALID_RGB_VALUE), jnp.float32),
       cursor=jnp.zeros((), jnp.int32),
   )
+
+
+def pole_valid_rows(height: int, proportion: float = 0.125) -> Tuple[int, int]:
+  """Row slice [start, stop) surviving `geometry.mask_pano`.
+
+  mask_pano keeps rows where `mh <= row <= height - mh` with
+  `mh = int(height * proportion)` (reference pano_utils.py:245-265), so
+  the survivors are rows [mh, height - mh + 1).
+  """
+  mh = int(height * proportion)
+  return mh, height - mh + 1
 
 
 def _transform_position(xyz: jnp.ndarray) -> jnp.ndarray:
@@ -93,7 +113,8 @@ def memory_add_pano(memory: MemoryState,
                     pano_depth: jnp.ndarray,
                     position: jnp.ndarray,
                     depth_scale: float,
-                    mask_blurred: bool = True) -> MemoryState:
+                    mask_blurred: bool = True,
+                    pole_compact: bool = False) -> MemoryState:
   """Unprojects an RGB-D pano and writes it into the memory buffer.
 
   Mirrors reference add_to_memory (models.py:180-245) with cursor-based
@@ -107,10 +128,21 @@ def memory_add_pano(memory: MemoryState,
     position: (N, 3) world position.
     depth_scale: Maximum depth in metres.
     mask_blurred: Blank top/bottom 1/8th before unprojection.
+    pole_compact: Statically drop the pole-masked rows from the RGB
+      cloud (requires mask_blurred=True; those rows' points are void
+      and splat-skipped, so the drop is exact — the reference discards
+      them dynamically, models.py:229-237). The memory's RGB buffers
+      must be laid out with `pole_valid_rows(H)` rows per frame (the
+      SE3DSConfig.pole_compact layout).
 
   Returns:
     Updated MemoryState (cursor advanced by H*W).
   """
+  if pole_compact and not mask_blurred:
+    raise ValueError(
+        'pole_compact drops the pole-masked RGB rows, which only exist '
+        'with mask_blurred=True. Pass mask_blurred=True or build the '
+        'model with SE3DSConfig(pole_compact=False).')
   pano_rgb = pano_rgb.astype(jnp.int32)
   pano_semantic = pano_semantic.astype(jnp.int32)
   if mask_blurred:
@@ -128,6 +160,17 @@ def memory_add_pano(memory: MemoryState,
   xyz1 = xyz1 + transformed_position[:, :, None]
   rgb_xyz1 = rgb_xyz1 + transformed_position[:, :, None]
 
+  height, width = pano_depth.shape[1], pano_depth.shape[2]
+  if pole_compact:
+    # XLA folds the slice into the unprojection, so the dropped rows'
+    # trig/feature work is dead-code-eliminated, not just discarded.
+    r0, r1 = pole_valid_rows(height)
+    n = rgb_xyz1.shape[0]
+    rgb_xyz1 = rgb_xyz1.reshape(n, 4, height, width)[:, :, r0:r1].reshape(
+        n, 4, -1)
+    rgb_feats = rgb_feats.reshape(n, height, width, -1)[:, r0:r1].reshape(
+        n, -1, rgb_feats.shape[-1])
+
   # NOTE: past capacity, dynamic_update_slice clamps the start index, so
   # a write beyond the last slot would silently overwrite the final
   # frame's range. This low-level function stays clamp-only (jit-safe,
@@ -135,18 +178,24 @@ def memory_add_pano(memory: MemoryState,
   # before dispatch instead (see _check_memory_capacity).
   num_new = xyz1.shape[-1]
   cap = memory.coords.shape[-1]
-  if num_new > cap:
-    raise ValueError(f'Frame has {num_new} points > memory capacity {cap}.')
+  rgb_new = rgb_xyz1.shape[-1]
+  rgb_cap = memory.rgb_coords.shape[-1]
+  if num_new > cap or rgb_new > rgb_cap:
+    raise ValueError(f'Frame has {num_new}/{rgb_new} points > memory '
+                     f'capacity {cap}/{rgb_cap}.')
   cur = memory.cursor
+  # The cursor counts semantic slots; each frame writes exactly `num_new`
+  # of them, so the RGB offset is frames-written * rgb-points-per-frame.
+  rgb_cur = (cur // num_new) * rgb_new
 
   coords = jax.lax.dynamic_update_slice(
       memory.coords, xyz1.astype(jnp.float32), (0, 0, cur))
   feats_buf = jax.lax.dynamic_update_slice(
       memory.feats, feats[..., None].astype(jnp.float32), (0, cur, 0))
   rgb_coords = jax.lax.dynamic_update_slice(
-      memory.rgb_coords, rgb_xyz1.astype(jnp.float32), (0, 0, cur))
+      memory.rgb_coords, rgb_xyz1.astype(jnp.float32), (0, 0, rgb_cur))
   rgb_buf = jax.lax.dynamic_update_slice(
-      memory.rgb, rgb_feats.astype(jnp.float32), (0, cur, 0))
+      memory.rgb, rgb_feats.astype(jnp.float32), (0, rgb_cur, 0))
   return MemoryState(coords=coords, feats=feats_buf, rgb_coords=rgb_coords,
                      rgb=rgb_buf,
                      cursor=jnp.minimum(cur + num_new, cap).astype(jnp.int32))
@@ -241,6 +290,12 @@ class SE3DSModel:
     self.width = config.image_height * 2
     self.depth_scale = config.depth_scale
     self.capacity = config.memory_frames * self.height * self.width
+    if config.pole_compact:
+      r0, r1 = pole_valid_rows(self.height)
+      self._rgb_frame_points = (r1 - r0) * self.width
+    else:
+      self._rgb_frame_points = self.height * self.width
+    self.rgb_capacity = config.memory_frames * self._rgb_frame_points
     dtype = jnp.bfloat16 if config.compute_dtype == 'bfloat16' else jnp.float32
 
     self.model = generator_lib.ResNetGenerator(
@@ -285,22 +340,32 @@ class SE3DSModel:
 
     self.prev_rgb_frame = None
     self._jit_add = jax.jit(functools.partial(
-        memory_add_pano, depth_scale=self.depth_scale),
+        memory_add_pano, depth_scale=self.depth_scale,
+        pole_compact=config.pole_compact),
         static_argnames=('mask_blurred',))
     self._jit_call = jax.jit(self._forward,
                              static_argnames=('num_frames', 'feed'))
+    self._jit_trajectory = jax.jit(self._trajectory_forward,
+                                   static_argnames=('start_frames',))
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
 
   def reset_memory(self):
-    self._memory = init_memory(self.batch_size, self.capacity)
+    self._memory = init_memory(self.batch_size, self.capacity,
+                               self.rgb_capacity)
     self._frames_written = 0
 
   def get_memory_state(self) -> MemoryState:
     return self._memory
 
   def set_memory_state(self, state: MemoryState):
+    if state.rgb_coords.shape[-1] != self.rgb_capacity:
+      raise ValueError(
+          f'MemoryState RGB capacity {state.rgb_coords.shape[-1]} does not '
+          f'match this model\'s layout ({self.rgb_capacity}; '
+          f'pole_compact={self.config.pole_compact}). States are only '
+          'portable between models with the same pole_compact setting.')
     self._memory = state
     # Recover the live extent from the cursor (host fetch; non-hot path).
     frame_points = self.height * self.width
@@ -311,9 +376,9 @@ class SE3DSModel:
   def write_memory_as_pointcloud(self, filename: str):
     """Writes valid RGB memory points of batch 0 to an ASCII .ply file."""
     mem = self._memory
-    xyz = np.asarray(mem.rgb_coords[0, 0:3]).T  # (CAP, 3)
-    rgb = np.asarray(mem.rgb[0])  # (CAP, 3)
-    cursor = int(mem.cursor)
+    xyz = np.asarray(mem.rgb_coords[0, 0:3]).T  # (RGB_CAP, 3)
+    rgb = np.asarray(mem.rgb[0])  # (RGB_CAP, 3)
+    cursor = self._frames_written * self._rgb_frame_points
     valid = np.all(rgb[:cursor] != constants.INVALID_RGB_VALUE, axis=-1)
     xyz, rgb = xyz[:cursor][valid], rgb[:cursor][valid]
     with open(filename, 'w') as fp:
@@ -362,6 +427,23 @@ class SE3DSModel:
 
   # -- forward --------------------------------------------------------------
 
+  def _live_memory(self, memory: MemoryState, num_frames: int) -> MemoryState:
+    """Statically slices memory to the written extent (exact: the tail
+    is void slots the splat skips anyway)."""
+    extent_frames = max(1, min(num_frames, self.config.memory_frames))
+    extent = extent_frames * self.height * self.width
+    # The RGB cloud may be pole-compacted (fewer points per frame);
+    # derive its frame stride from the buffer itself so the slice stays
+    # correct for either layout.
+    rgb_extent = extent_frames * (
+        memory.rgb_coords.shape[-1] // self.config.memory_frames)
+    return MemoryState(
+        coords=memory.coords[:, :, :extent],
+        feats=memory.feats[:, :extent],
+        rgb_coords=memory.rgb_coords[:, :, :rgb_extent],
+        rgb=memory.rgb[:, :rgb_extent],
+        cursor=memory.cursor)
+
   def _forward(self, variables, memory: MemoryState, prev_rgb_frame,
                position, num_frames: int, feed: bool = False):
     # Live-extent splat: only `num_frames` frames of memory have ever
@@ -370,14 +452,7 @@ class SE3DSModel:
     # and makes splat cost proportional to frames-so-far instead of
     # full capacity. `num_frames` is static (one compile per distinct
     # frame count, <= memory_frames).
-    extent = max(1, min(num_frames, self.config.memory_frames))
-    extent *= self.height * self.width
-    live = MemoryState(
-        coords=memory.coords[:, :, :extent],
-        feats=memory.feats[:, :extent],
-        rgb_coords=memory.rgb_coords[:, :, :extent],
-        rgb=memory.rgb[:, :extent],
-        cursor=memory.cursor)
+    live = self._live_memory(memory, num_frames)
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
         live, position, self.height, self.width, self.depth_scale,
         splat_mode=self.config.splat_mode,
@@ -439,6 +514,78 @@ class SE3DSModel:
           generated_rgb=generated_rgb,
       )
     return out
+
+  def _trajectory_forward(self, variables, memory: MemoryState,
+                          prev_rgb_frame, positions, start_frames: int):
+    """T autoregressive frames in ONE traced program (see
+    predict_trajectory)."""
+    num_frames = positions.shape[0]
+    per_frame = []
+    for t in range(num_frames):
+      position = positions[t]
+      # Exact live extents (no power-of-two bucketing): the whole
+      # trajectory is one compile, so there is no per-extent compile
+      # cost to amortise — each frame splats exactly the frames written.
+      out = self._forward(variables, memory, prev_rgb_frame, position,
+                          num_frames=max(1, start_frames + t), feed=True)
+      prev_rgb_frame = out['generated_rgb']
+      memory = memory_add_pano(
+          memory, out['pc_rgb'], out['pred_semantic'][..., None],
+          out['pred_depth'], position, depth_scale=self.depth_scale,
+          mask_blurred=True, pole_compact=self.config.pole_compact)
+      per_frame.append({k: out[k] for k in (
+          'proj_semantic_u8', 'pred_semantic_u8', 'proj_rgb_u8',
+          'pred_rgb_u8', 'proj_depth', 'pred_depth', 'mu', 'logvar',
+          'proj_mask')})
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
+    return stacked, memory, prev_rgb_frame
+
+  def predict_trajectory(self, positions) -> OutputData:
+    """Autoregressively predicts a whole trajectory in one jitted program.
+
+    Equivalent to calling `self(position, add_preds_to_memory=True)` for
+    each position in turn (the VLN/video-synthesis loop, reference
+    models.py:335-347 driven per-frame from Python), but the splat ->
+    generate -> unproject -> memory-write chain for ALL T frames is one
+    XLA program: no host round-trip between frames, one compile per
+    (T, frames-already-written) pair, and the memory feedback never
+    leaves the device. The reference has no fused-trajectory path.
+
+    Args:
+      positions: (T, 3) or (T, N, 3) world positions, one per frame.
+
+    Returns:
+      OutputData with a leading trajectory axis on every field, i.e.
+      pred_rgb is (T, N, H, W, 3) uint8. Memory, the previous-frame
+      feedback, and the frame counter advance by T, exactly as T
+      `add_preds_to_memory=True` calls would.
+    """
+    positions = jnp.asarray(positions, jnp.float32)
+    if positions.ndim == 2:
+      positions = positions[:, None, :]
+    num_frames = positions.shape[0]
+    assert self.prev_rgb_frame is not None
+    if self._frames_written + num_frames > self.config.memory_frames:
+      raise ValueError(
+          f'Trajectory of {num_frames} frames would exceed memory capacity '
+          f'({self._frames_written} written, {self.config.memory_frames} '
+          'total). Increase SE3DSConfig.memory_frames or reset_memory().')
+    out, new_memory, new_prev = self._jit_trajectory(
+        self.variables, self._memory, self.prev_rgb_frame, positions,
+        start_frames=self._frames_written)
+    self._memory = new_memory
+    self.prev_rgb_frame = new_prev
+    self._frames_written += num_frames
+    return OutputData(
+        proj_semantic=out['proj_semantic_u8'],
+        pred_semantic=out['pred_semantic_u8'],
+        proj_rgb=out['proj_rgb_u8'],
+        pred_rgb=out['pred_rgb_u8'],
+        proj_depth=out['proj_depth'],
+        pred_depth=out['pred_depth'],
+        mu=out['mu'],
+        logvar=out['logvar'],
+        proj_mask=out['proj_mask'])
 
   def __call__(self, position, add_preds_to_memory: bool = False,
                sample_noise: bool = False,

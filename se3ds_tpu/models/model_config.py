@@ -40,6 +40,18 @@ class SE3DSConfig:
   # Fold spectral norms into kernels once at load (bitwise-equal at eval,
   # models/folding.py) instead of re-normalising every weight per forward.
   fold_spectral: bool = True
+  # Statically drop the pole-masked rows from the RGB point cloud at
+  # memory-write time. `add_to_memory(mask_blurred=True)` blanks the
+  # top/bottom 1/8th of the RGB pano to INVALID_RGB_VALUE *before*
+  # unprojection (reference models.py:211-213), so those rows' points
+  # are void forever and every splat mode skips them — the reference
+  # itself discards them dynamically with a boolean gather
+  # (models.py:229-237). Dropping them statically keeps shapes jit-able
+  # and shrinks the RGB cloud ~25% (H - 2*int(H/8) + 1 rows survive),
+  # cutting RGB-splat cost proportionally. Bit-exact on every output
+  # (tests/test_inference.py). Requires mask_blurred=True on every
+  # add_to_memory call; set False to allow unmasked memory writes.
+  pole_compact: bool = True
   # Compute the semantic guidance projection. The generator never
   # consumes it (its inputs are the RGB/depth/mask guidance only,
   # reference image_models.py:157-162); it exists solely to fill
@@ -65,4 +77,7 @@ def get_test_config() -> SE3DSConfig:
   """Returns config used for unit tests."""
   return SE3DSConfig(ckpt_path=None, hidden_dims=4, z_dim=4, gen_dims=4,
                      image_height=32, memory_frames=3,
-                     resnet_version='tiny')
+                     resnet_version='tiny',
+                     # Unit tests exercise mask_blurred=False round-trips,
+                     # which compaction (correctly) rejects.
+                     pole_compact=False)

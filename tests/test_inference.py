@@ -208,6 +208,110 @@ def test_project_semantics_off_bit_identical_rgb():
         err_msg=field)
 
 
+def test_predict_trajectory_matches_per_frame_loop():
+  """The fused-trajectory program must be bitwise identical to driving
+  `__call__(add_preds_to_memory=True)` per frame from the host — the
+  fusion removes dispatch, not math (live-extent slices are exact at any
+  extent, so bucketed vs exact extents cannot differ)."""
+  config = model_config.get_test_config()  # memory_frames=3
+  model = inference.SE3DSModel(config)
+  rgb, sem, depth = _synthetic_pano(32, seed=21)
+  pos = np.zeros((1, 3), np.float32)
+  targets = np.asarray([[0.2, 0.1, 0.0], [-0.1, 0.3, 0.05]], np.float32)
+
+  model.add_to_memory(rgb, sem, depth, pos)
+  ref_outs = [model(t[None], add_preds_to_memory=True) for t in targets]
+  ref_mem = model.get_memory_state()
+
+  model.reset_memory()
+  model.add_to_memory(rgb, sem, depth, pos)
+  traj = model.predict_trajectory(targets)
+
+  assert traj.pred_rgb.shape == (2, 1, 32, 64, 3)
+  for i, ref in enumerate(ref_outs):
+    for field in ref._fields:
+      np.testing.assert_array_equal(
+          np.asarray(getattr(traj, field)[i]),
+          np.asarray(getattr(ref, field)), err_msg=f'{field}[{i}]')
+  new_mem = model.get_memory_state()
+  for field in ref_mem._fields:
+    np.testing.assert_array_equal(np.asarray(getattr(ref_mem, field)),
+                                  np.asarray(getattr(new_mem, field)),
+                                  err_msg=field)
+  assert model._frames_written == 3
+  with pytest.raises(ValueError, match='exceed'):
+    model.predict_trajectory(np.zeros((1, 3), np.float32))
+
+
+def test_pole_compact_bit_identical():
+  """pole_compact=True statically drops the pole-masked RGB rows (the
+  reference drops them dynamically, models.py:229-237): every output of
+  every frame must be bitwise identical to the uncompacted layout, with
+  ~25% fewer RGB cloud slots."""
+  import dataclasses
+  h = 32
+  rgb, sem, depth = _synthetic_pano(h, seed=17)
+  rgb2, sem2, depth2 = _synthetic_pano(h, seed=18)
+  pos = np.zeros((1, 3), np.float32)
+  pos2 = np.asarray([[0.3, 0.1, 0.0]], np.float32)
+  targets = [np.asarray([[0.2, 0.1, 0.0]], np.float32),
+             np.asarray([[-0.1, 0.4, 0.05]], np.float32)]
+
+  outs = {}
+  for flag in (False, True):
+    config = dataclasses.replace(model_config.get_test_config(),
+                                 pole_compact=flag)
+    m = inference.SE3DSModel(config)
+    m.add_to_memory(rgb, sem, depth, pos, mask_blurred=True)
+    m.add_to_memory(rgb2, sem2, depth2, pos2, mask_blurred=True)
+    # One read-only prediction + one autoregressive feedback write.
+    outs[flag] = [m(targets[0]),
+                  m(targets[1], add_preds_to_memory=True)]
+    if flag:
+      r0, r1 = inference.pole_valid_rows(h)
+      assert m.rgb_capacity == config.memory_frames * (r1 - r0) * 2 * h
+      assert m.get_memory_state().rgb.shape[1] == m.rgb_capacity
+      assert m.rgb_capacity < m.capacity
+
+  for out_off, out_on in zip(outs[False], outs[True]):
+    for field in out_off._fields:
+      np.testing.assert_array_equal(
+          np.asarray(getattr(out_off, field)),
+          np.asarray(getattr(out_on, field)), err_msg=field)
+
+
+def test_pole_compact_rejects_unmasked_writes():
+  """Compaction is only valid when the pole rows were masked to void;
+  an unmasked write must fail loudly with a pointer to the config."""
+  import dataclasses
+  config = dataclasses.replace(model_config.get_test_config(),
+                               pole_compact=True)
+  m = inference.SE3DSModel(config)
+  rgb, sem, depth = _synthetic_pano(32, seed=19)
+  with pytest.raises(ValueError, match='pole_compact'):
+    m.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32),
+                    mask_blurred=False)
+  # State layouts are not portable across pole_compact settings.
+  other = inference.SE3DSModel(model_config.get_test_config())
+  with pytest.raises(ValueError, match='RGB capacity'):
+    m.set_memory_state(other.get_memory_state())
+
+
+def test_pole_compact_ply_export(tmp_path):
+  import dataclasses
+  config = dataclasses.replace(model_config.get_test_config(),
+                               pole_compact=True)
+  m = inference.SE3DSModel(config)
+  rgb, sem, depth = _synthetic_pano(32, seed=20)
+  m.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+  path = tmp_path / 'cloud_compact.ply'
+  m.write_memory_as_pointcloud(str(path))
+  lines = path.read_text().splitlines()
+  n = int([l for l in lines if l.startswith('element vertex')][0].split()[-1])
+  assert 0 < n <= m._rgb_frame_points
+  assert len(lines) == 10 + n
+
+
 def test_spatial_sharded_generator_model_matches_single_device():
   """SE3DSModel on a (2 data x 4 spatial) mesh: splat points sharded
   over 'data' AND the generator spatially partitioned (pano height over
