@@ -239,6 +239,9 @@ def bench_trajectory():
   Env: SE3DS_BENCH_SIZE (512), SE3DS_BENCH_FRAMES (memory capacity and
   trajectory length; default 8 -> 1 GT frame + 7 predicted),
   SE3DS_BENCH_ITERS (5), SE3DS_BENCH_GENDIMS (128), SE3DS_BENCH_SPLAT.
+  SE3DS_BENCH_FUSED=0 drives the SAME workload per-frame from the host
+  (__call__ with add_preds_to_memory=True, the reference's only serving
+  mode) for an A/B against the fused program.
   """
   import jax.numpy as jnp
   import numpy as np
@@ -274,22 +277,34 @@ def bench_trajectory():
     model._memory, model.prev_rgb_frame = mem0, prev0
     model._frames_written = 1
 
-  out = model.predict_trajectory(targets)  # compile
-  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+  fused = os.environ.get('SE3DS_BENCH_FUSED', '1') != '0'
+
+  def run():
+    if fused:
+      return model.predict_trajectory(targets)
+    # The reference's only serving mode: one host dispatch per frame.
+    for t in range(t_len):
+      out = model(targets[t], add_preds_to_memory=True)
+    return out
+
+  out = run()  # compile (per-frame mode compiles each extent bucket)
+  _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   t0 = time.perf_counter()
-  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+  _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   fetch_latency = time.perf_counter() - t0
 
   t0 = time.perf_counter()
   for _ in range(iters):
     restore()
-    out = model.predict_trajectory(targets)
-  _ = np.asarray(out.pred_rgb[-1, 0, 0, :4])
+    out = run()
+  _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
   frames_per_sec = iters * t_len / elapsed
+  tag = 'fused-trajectory' if fused else 'per-frame trajectory'
+  unit_tag = 'frames/program' if fused else 'host dispatches/frame'
   print(json.dumps({
-      'metric': (f'{w}x{h} fused-trajectory panoramas/sec/chip '
-                 f'(T={t_len} autoregressive frames/program)'),
+      'metric': (f'{w}x{h} {tag} panoramas/sec/chip '
+                 f'(T={t_len} autoregressive {unit_tag})'),
       'value': round(frames_per_sec, 4),
       'unit': 'panoramas/sec',
       'vs_baseline': round(frames_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),
@@ -316,24 +331,29 @@ def main():
   frames = int(os.environ.get('SE3DS_BENCH_FRAMES', 2))
   iters = int(os.environ.get('SE3DS_BENCH_ITERS', 10))
   gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 128))
+  # Independent scenes served in lockstep (the reference cannot batch at
+  # all: models.py:95-96). Headline stays batch 1; batched-serving
+  # throughput is reported separately in PERF.md.
+  batch = int(os.environ.get('SE3DS_BENCH_BATCH', 1))
 
   from se3ds_tpu.models import inference, model_config
 
   config = model_config.SE3DSConfig(
       ckpt_path=None, image_height=size, gen_dims=gen_dims,
       resnet_version='101', memory_frames=frames, compute_dtype=dtype,
+      batch_size=batch,
       splat_mode=os.environ.get('SE3DS_BENCH_SPLAT', 'fast'))
   model = inference.SE3DSModel(config)
 
   h, w = size, size * 2
   rng = np.random.RandomState(0)
-  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
-  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
-  depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
-  pos = np.zeros((1, 3), np.float32)
+  rgb = rng.randint(0, 256, (batch, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (batch, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.9, (batch, h, w)).astype(np.float32)
+  pos = np.zeros((batch, 3), np.float32)
   model.add_to_memory(rgb, sem, depth, pos)
 
-  target = np.array([[0.8, 0.3, 0.0]], np.float32)
+  target = np.tile(np.array([[0.8, 0.3, 0.0]], np.float32), (batch, 1))
 
   # Warmup / compile. NOTE: on relay-backed TPU backends,
   # jax.block_until_ready does not synchronise; a host fetch is the only
@@ -352,9 +372,10 @@ def main():
   _ = np.asarray(out.pred_rgb[0, 0, :4])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
 
-  panos_per_sec = iters / elapsed
+  panos_per_sec = iters * batch / elapsed
+  batch_tag = f', batch {batch}' if batch > 1 else ''
   result = {
-      'metric': f'{w}x{h} panoramas/sec/chip (MP3D inference)',
+      'metric': f'{w}x{h} panoramas/sec/chip (MP3D inference{batch_tag})',
       'value': round(panos_per_sec, 4),
       'unit': 'panoramas/sec',
       'vs_baseline': round(panos_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),

@@ -81,17 +81,28 @@ def sample_perturbed_views(model, start_position, depth_image, num_samples,
   Returns:
     List of (position, OutputData) tuples.
   """
-  results = []
+  # Collision-filter candidates on the host (cheap numpy window checks,
+  # same RNG draw order as the reference's per-pose loop) ...
+  positions = []
   attempts = 0
   start = np.asarray(start_position, np.float32).reshape(1, 3)
-  while len(results) < num_samples and attempts < max_attempts:
+  while len(positions) < num_samples and attempts < max_attempts:
     attempts += 1
     noise = rng.uniform([-max_offset_xy, -max_offset_xy, -max_offset_z],
                         [max_offset_xy, max_offset_xy, max_offset_z]
                         ).astype(np.float32)
     if get_proportion_invalid_for_depth(noise, depth_image
                                         ) < collision_threshold:
-      position = start + noise[None]
-      outputs = model(position, add_preds_to_memory=False)
-      results.append((position, outputs))
+      positions.append(start + noise[None])
+  if not positions:
+    return []
+  # ... then synthesise ALL accepted views in ONE program: K splats of
+  # the shared scene cloud + one batch-K generator pass (predict_poses),
+  # instead of the reference's one host dispatch per pose.
+  outputs = model.predict_poses(np.concatenate(positions))
+  results = []
+  for i, position in enumerate(positions):
+    one = type(outputs)(*(
+        None if field is None else field[i:i + 1] for field in outputs))
+    results.append((position, one))
   return results

@@ -283,8 +283,14 @@ class SE3DSModel:
         mesh is not None and 'spatial' in mesh.axis_names
         and mesh.shape['spatial'] > 1)
     self.config = config
-    if config.batch_size != 1:
-      raise ValueError('Several methods do not support batch_size > 1.')
+    # The reference hard-requires batch_size == 1 (models.py:95-96); here
+    # every path (memory buffers, splats, generator) carries a leading
+    # batch axis, so N independent scenes advance in lockstep through one
+    # program — batched serving the reference cannot do. Each batch
+    # element owns its own point cloud; the frame cursor is shared (all
+    # elements add/predict together). `.ply` export stays batch-0-only.
+    if config.batch_size < 1:
+      raise ValueError(f'batch_size must be >= 1, got {config.batch_size}.')
     self.batch_size = config.batch_size
     self.height = config.image_height
     self.width = config.image_height * 2
@@ -347,6 +353,8 @@ class SE3DSModel:
                              static_argnames=('num_frames', 'feed'))
     self._jit_trajectory = jax.jit(self._trajectory_forward,
                                    static_argnames=('start_frames',))
+    self._jit_poses = jax.jit(self._poses_forward,
+                              static_argnames=('num_frames',))
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
@@ -586,6 +594,68 @@ class SE3DSModel:
         mu=out['mu'],
         logvar=out['logvar'],
         proj_mask=out['proj_mask'])
+
+  def _poses_forward(self, variables, memory: MemoryState, prev_rgb_frame,
+                     positions, num_frames: int):
+    """K read-only forwards against ONE scene's memory (see
+    predict_poses). The broadcast happens inside jit: XLA fuses it into
+    the per-pose coordinate subtraction the splat needs anyway, so the
+    memory buffers are never copied K-fold on transfer."""
+    k = positions.shape[0]
+    bcast = lambda x: jnp.broadcast_to(x, (k,) + x.shape[1:])
+    mem_k = MemoryState(
+        coords=bcast(memory.coords), feats=bcast(memory.feats),
+        rgb_coords=bcast(memory.rgb_coords), rgb=bcast(memory.rgb),
+        cursor=memory.cursor)
+    return self._forward(variables, mem_k, bcast(prev_rgb_frame), positions,
+                         num_frames=num_frames, feed=False)
+
+  def predict_poses(self, positions) -> OutputData:
+    """Predicts K poses from the CURRENT scene memory in one program.
+
+    The VLN-augmentation inner loop (reference notebook cell 13 +
+    models.py:247-366) evaluates many candidate viewpoints around one
+    source pano, one `model(position)` host dispatch per pose; here all
+    K read-only forwards — K splats of the shared point cloud + one
+    batch-K generator pass — are a single XLA program. Memory is NOT
+    modified. Requires batch_size == 1 (one scene, many poses; use
+    `SE3DSConfig.batch_size` for many scenes).
+
+    Args:
+      positions: (K, 3) world positions.
+
+    Returns:
+      OutputData batched over poses: pred_rgb is (K, H, 2H, 3) uint8.
+      K is padded to the next power of two internally (one compile per
+      bucket, not per K); outputs are sliced back to K.
+    """
+    if self.batch_size != 1:
+      raise ValueError('predict_poses serves many poses of ONE scene; '
+                       f'model batch_size is {self.batch_size}.')
+    positions = jnp.asarray(positions, jnp.float32)
+    if positions.ndim != 2 or positions.shape[-1] != 3:
+      raise ValueError(f'positions must be (K, 3), got {positions.shape}.')
+    k = positions.shape[0]
+    bucket = 1 << max(0, k - 1).bit_length()  # pad: bounds compiles at log2
+    if bucket != k:
+      positions = jnp.concatenate(
+          [positions, jnp.zeros((bucket - k, 3), jnp.float32)])
+    assert self.prev_rgb_frame is not None
+    num_frames = max(1, self._frames_written)
+    frame_bucket = 1 << (num_frames - 1).bit_length()
+    out = self._jit_poses(
+        self.variables, self._memory, self.prev_rgb_frame, positions,
+        num_frames=min(frame_bucket, self.config.memory_frames))
+    return OutputData(
+        proj_semantic=out['proj_semantic_u8'][:k],
+        pred_semantic=out['pred_semantic_u8'][:k],
+        proj_rgb=out['proj_rgb_u8'][:k],
+        pred_rgb=out['pred_rgb_u8'][:k],
+        proj_depth=out['proj_depth'][:k],
+        pred_depth=out['pred_depth'][:k],
+        mu=out['mu'][:k],
+        logvar=out['logvar'][:k],
+        proj_mask=out['proj_mask'][:k])
 
   def __call__(self, position, add_preds_to_memory: bool = False,
                sample_noise: bool = False,

@@ -9,6 +9,12 @@ from se3ds_tpu import constants
 @dataclasses.dataclass
 class SE3DSConfig:
   """Parameters used to configure SE3DS models."""
+  # Number of independent scenes served in lockstep through one program.
+  # The reference requires 1 (models.py:95-96); here any N >= 1 works —
+  # each batch element owns its own point-cloud memory slice. Splat
+  # guidance is bit-identical to N single-scene models; generator floats
+  # agree to ~1e-6 (XLA tiles convs per batch size) —
+  # tests/test_inference.py::test_batched_serving_*.
   batch_size: int = 1
   ckpt_path: Optional[str] = constants.CKPT_UNSEEN
   hidden_dims: int = 128

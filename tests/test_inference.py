@@ -312,6 +312,96 @@ def test_pole_compact_ply_export(tmp_path):
   assert len(lines) == 10 + n
 
 
+def _mostly_equal(a, b, msg, frac=0.01):
+  """Numerical equivalence across batch sizes: XLA tiles convolutions
+  differently for different batch dims, so generator floats carry ~1e-7
+  ULP deltas; quantisation to uint8/int32 can flip a unit at bin
+  boundaries, and a flipped fed-back byte can (rarely) flip a splat
+  winner. Integer fields: <frac of elements off by >1; float fields:
+  <frac outside a tight isclose."""
+  a, b = np.asarray(a), np.asarray(b)
+  if a.dtype.kind in 'ui':
+    bad = np.abs(a.astype(np.int64) - b.astype(np.int64)) > 1
+  else:
+    bad = ~np.isclose(a, b, rtol=1e-4, atol=1e-5)
+  assert bad.mean() < frac, f'{msg}: {bad.mean():.4f} of elements differ'
+
+
+def test_batched_serving_matches_single_scene_models():
+  """batch_size=N serves N independent scenes in lockstep through one
+  program (the reference requires batch 1, models.py:95-96). Splat
+  guidance from shared memory must be bitwise identical to N separate
+  batch-1 models; generator-derived fields agree to float tolerance
+  (XLA tiles convs differently per batch size — batching is a
+  throughput lever, not a math change)."""
+  import dataclasses
+  h = 32
+  panos = [_synthetic_pano(h, seed=s) for s in (31, 32)]
+  pos0 = np.zeros((2, 3), np.float32)
+  # Distinct target positions per scene.
+  targets = np.asarray([[0.2, 0.1, 0.0], [-0.3, 0.2, 0.05]], np.float32)
+
+  base = model_config.get_test_config()
+  batched = inference.SE3DSModel(dataclasses.replace(base, batch_size=2))
+  rgb = np.concatenate([p[0] for p in panos])
+  sem = np.concatenate([p[1] for p in panos])
+  depth = np.concatenate([p[2] for p in panos])
+  batched.add_to_memory(rgb, sem, depth, pos0)
+  out_b = [batched(targets), batched(targets, add_preds_to_memory=True)]
+  traj_b = batched.predict_trajectory(targets[None])  # (T=1, N=2, 3)
+  assert traj_b.pred_rgb.shape == (1, 2, h, 2 * h, 3)
+
+  exact_first_frame = ('proj_semantic', 'proj_rgb', 'proj_depth', 'proj_mask')
+  for i, (rgb_i, sem_i, depth_i) in enumerate(panos):
+    single = inference.SE3DSModel(base)
+    single.add_to_memory(rgb_i, sem_i, depth_i, pos0[i:i + 1])
+    out_s = [single(targets[i:i + 1]),
+             single(targets[i:i + 1], add_preds_to_memory=True)]
+    traj_s = single.predict_trajectory(targets[i:i + 1][None])
+    # Pre-feedback memory is identical ints, so the guidance splat of the
+    # first frame must be bitwise equal: batch elements are fully isolated.
+    for field in exact_first_frame:
+      np.testing.assert_array_equal(
+          np.asarray(getattr(out_b[0], field)[i:i + 1]),
+          np.asarray(getattr(out_s[0], field)),
+          err_msg=f'{field}[scene {i}]')
+    for ob, os_ in zip(out_b, out_s):
+      for field in ob._fields:
+        _mostly_equal(getattr(ob, field)[i:i + 1], getattr(os_, field),
+                      f'{field}[scene {i}]')
+    for field in traj_b._fields:
+      _mostly_equal(getattr(traj_b, field)[:, i:i + 1],
+                    getattr(traj_s, field), f'traj {field}[scene {i}]')
+
+
+def test_predict_poses_matches_per_pose_calls(model):
+  """K read-only poses of one scene in one program (the VLN inner loop;
+  the reference dispatches per pose). Splat guidance must be bitwise
+  equal to per-pose `__call__`s — min/max scatters are order-independent
+  so batching cannot change winners; generator fields agree to float
+  tolerance (conv tiling differs at batch K, incl. the pow2 padding)."""
+  model.reset_memory()
+  rgb, sem, depth = _synthetic_pano(model.height, seed=41)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+  poses = np.asarray([[0.2, 0.1, 0.0], [-0.3, 0.2, 0.05], [0.0, -0.4, 0.0]],
+                     np.float32)  # K=3 pads to bucket 4
+  batch = model.predict_poses(poses)
+  assert batch.pred_rgb.shape == (3, model.height, model.width, 3)
+  for i in range(3):
+    single = model(poses[i:i + 1])
+    for field in ('proj_semantic', 'proj_rgb', 'proj_depth', 'proj_mask'):
+      np.testing.assert_array_equal(
+          np.asarray(getattr(batch, field)[i:i + 1]),
+          np.asarray(getattr(single, field)), err_msg=f'{field}[pose {i}]')
+    for field in batch._fields:
+      _mostly_equal(getattr(batch, field)[i:i + 1], getattr(single, field),
+                    f'{field}[pose {i}]')
+  # Memory untouched; multi-scene models are rejected.
+  assert model._frames_written == 1
+  with pytest.raises(ValueError, match=r'\(K, 3\)'):
+    model.predict_poses(np.zeros((2, 1, 3), np.float32))
+
+
 def test_spatial_sharded_generator_model_matches_single_device():
   """SE3DSModel on a (2 data x 4 spatial) mesh: splat points sharded
   over 'data' AND the generator spatially partitioned (pano height over

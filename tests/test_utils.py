@@ -92,7 +92,33 @@ def test_perturbation_directional_window():
   assert prop_away < prop_toward
 
 
-def test_fid_identical_pools_near_zero():
+def test_sample_perturbed_views_batched_loop():
+  """The VLN augmentation loop draws/filters candidates on the host
+  (reference RNG order preserved) then synthesises ALL accepted views in
+  one predict_poses program. Contract: num_samples (position, OutputData)
+  pairs with batch-1 fields, memory untouched."""
+  from se3ds_tpu.models import inference, model_config
+  model = inference.SE3DSModel(model_config.get_test_config())
+  h, w = model.height, model.width
+  rng_np = np.random.RandomState(7)
+  rgb = rng_np.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng_np.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = np.full((1, h, w), 0.5, np.float32)  # 10 m everywhere: no collision
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+
+  results = perturbation.sample_perturbed_views(
+      model, np.zeros((1, 3), np.float32), depth[0], num_samples=3,
+      rng=np.random.RandomState(3))
+  assert len(results) == 3
+  # Same accepted positions as the reference's draw-per-attempt loop.
+  ref_rng = np.random.RandomState(3)
+  for position, out in results:
+    noise = ref_rng.uniform([-1.5, -1.5, -0.1], [1.5, 1.5, 0.1]
+                            ).astype(np.float32)
+    np.testing.assert_array_equal(position, noise[None])
+    assert out.pred_rgb.shape == (1, h, w, 3)
+    assert out.pred_rgb.dtype == np.uint8
+  assert model._frames_written == 1
   rng = np.random.RandomState(3)
   pool = rng.rand(64, 16).astype(np.float64)
   value = fid.calculate_fid(pool, pool.copy())
