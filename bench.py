@@ -250,6 +250,9 @@ def bench_trajectory():
   size = int(os.environ.get('SE3DS_BENCH_SIZE', 512))
   dtype = os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
   frames = int(os.environ.get('SE3DS_BENCH_FRAMES', 8))
+  if frames < 2:
+    raise SystemExit('trajectory mode needs SE3DS_BENCH_FRAMES >= 2 '
+                     '(1 GT frame + at least 1 predicted).')
   iters = int(os.environ.get('SE3DS_BENCH_ITERS', 5))
   gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 128))
 

@@ -35,7 +35,10 @@ def main():
   config = model_config.SE3DSConfig(
       ckpt_path=args.ckpt, image_height=args.height, gen_dims=args.gen_dims,
       resnet_version='101', use_blurred_mask=False,
-      memory_frames=args.frames + 1)
+      memory_frames=args.frames + 1,
+      # RE10K panos are written unmasked (mask_blurred=False below), so
+      # the pole-compacted RGB layout does not apply.
+      pole_compact=False)
   model = inference.SE3DSModel(config)
 
   # Synthetic perspective source (stand-in for an RE10K frame + MiDaS

@@ -435,6 +435,29 @@ class SE3DSModel:
 
   # -- forward --------------------------------------------------------------
 
+  @staticmethod
+  def _pow2_bucket(n: int) -> int:
+    """Next power of two >= n: bounds distinct compiled shape variants at
+    log2 instead of linear (each compile costs minutes on relay
+    backends)."""
+    return 1 << max(0, n - 1).bit_length()
+
+  @staticmethod
+  def _to_output_data(out, slice_to: Optional[int] = None) -> OutputData:
+    """Maps a jitted-forward output dict to the public OutputData (the
+    uint8 views are produced in-jit; see _forward)."""
+    cut = (lambda x: x[:slice_to]) if slice_to is not None else (lambda x: x)
+    return OutputData(
+        proj_semantic=cut(out['proj_semantic_u8']),
+        pred_semantic=cut(out['pred_semantic_u8']),
+        proj_rgb=cut(out['proj_rgb_u8']),
+        pred_rgb=cut(out['pred_rgb_u8']),
+        proj_depth=cut(out['proj_depth']),
+        pred_depth=cut(out['pred_depth']),
+        mu=cut(out['mu']),
+        logvar=cut(out['logvar']),
+        proj_mask=cut(out['proj_mask']))
+
   def _live_memory(self, memory: MemoryState, num_frames: int) -> MemoryState:
     """Statically slices memory to the written extent (exact: the tail
     is void slots the splat skips anyway)."""
@@ -571,7 +594,15 @@ class SE3DSModel:
     positions = jnp.asarray(positions, jnp.float32)
     if positions.ndim == 2:
       positions = positions[:, None, :]
+    if (positions.ndim != 3 or positions.shape[-1] != 3
+        or positions.shape[1] not in (1, self.batch_size)):
+      raise ValueError(
+          f'positions must be (T, 3) or (T, N, 3) with N in '
+          f'{{1, {self.batch_size}}}, got {positions.shape}. A singleton '
+          'scene axis broadcasts one pose to every scene.')
     num_frames = positions.shape[0]
+    if num_frames < 1:
+      raise ValueError('positions must contain at least one frame.')
     assert self.prev_rgb_frame is not None
     if self._frames_written + num_frames > self.config.memory_frames:
       raise ValueError(
@@ -584,16 +615,7 @@ class SE3DSModel:
     self._memory = new_memory
     self.prev_rgb_frame = new_prev
     self._frames_written += num_frames
-    return OutputData(
-        proj_semantic=out['proj_semantic_u8'],
-        pred_semantic=out['pred_semantic_u8'],
-        proj_rgb=out['proj_rgb_u8'],
-        pred_rgb=out['pred_rgb_u8'],
-        proj_depth=out['proj_depth'],
-        pred_depth=out['pred_depth'],
-        mu=out['mu'],
-        logvar=out['logvar'],
-        proj_mask=out['proj_mask'])
+    return self._to_output_data(out)
 
   def _poses_forward(self, variables, memory: MemoryState, prev_rgb_frame,
                      positions, num_frames: int):
@@ -636,26 +658,18 @@ class SE3DSModel:
     if positions.ndim != 2 or positions.shape[-1] != 3:
       raise ValueError(f'positions must be (K, 3), got {positions.shape}.')
     k = positions.shape[0]
-    bucket = 1 << max(0, k - 1).bit_length()  # pad: bounds compiles at log2
+    if k < 1:
+      raise ValueError('positions must contain at least one pose.')
+    bucket = self._pow2_bucket(k)  # pad: bounds compiles at log2
     if bucket != k:
       positions = jnp.concatenate(
           [positions, jnp.zeros((bucket - k, 3), jnp.float32)])
     assert self.prev_rgb_frame is not None
-    num_frames = max(1, self._frames_written)
-    frame_bucket = 1 << (num_frames - 1).bit_length()
+    frame_bucket = self._pow2_bucket(max(1, self._frames_written))
     out = self._jit_poses(
         self.variables, self._memory, self.prev_rgb_frame, positions,
         num_frames=min(frame_bucket, self.config.memory_frames))
-    return OutputData(
-        proj_semantic=out['proj_semantic_u8'][:k],
-        pred_semantic=out['pred_semantic_u8'][:k],
-        proj_rgb=out['proj_rgb_u8'][:k],
-        pred_rgb=out['pred_rgb_u8'][:k],
-        proj_depth=out['proj_depth'][:k],
-        pred_depth=out['pred_depth'][:k],
-        mu=out['mu'][:k],
-        logvar=out['logvar'][:k],
-        proj_mask=out['proj_mask'][:k])
+    return self._to_output_data(out, slice_to=k)
 
   def __call__(self, position, add_preds_to_memory: bool = False,
                sample_noise: bool = False,
@@ -669,8 +683,7 @@ class SE3DSModel:
     # slots are void and splat-skipped), and bucketing bounds the number
     # of compiled _forward variants at log2(memory_frames)+1 instead of
     # memory_frames — each compile costs minutes on relay backends.
-    num_frames = max(1, self._frames_written)
-    bucket = 1 << (num_frames - 1).bit_length()
+    bucket = self._pow2_bucket(max(1, self._frames_written))
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
                          position,
                          num_frames=min(bucket, self.config.memory_frames),
@@ -700,13 +713,6 @@ class SE3DSModel:
       self._frames_written = min(self.config.memory_frames,
                                  self._frames_written + 1)
 
-    return OutputData(
-        proj_semantic=out['proj_semantic_u8'],
-        pred_semantic=pred_semantic_u8,
-        proj_rgb=out['proj_rgb_u8'],
-        pred_rgb=pred_rgb_u8,
-        proj_depth=out['proj_depth'],
-        pred_depth=pred_depth,
-        mu=out['mu'],
-        logvar=out['logvar'],
-        proj_mask=out['proj_mask'])
+    return self._to_output_data(out)._replace(
+        pred_semantic=pred_semantic_u8, pred_rgb=pred_rgb_u8,
+        pred_depth=pred_depth)

@@ -76,7 +76,11 @@ def get_config() -> SE3DSConfig:
 def get_re10k_config() -> SE3DSConfig:
   """Returns the RE10K config for SE3DS."""
   return SE3DSConfig(ckpt_path=constants.CKPT_RE10K, resnet_version='101',
-                     use_blurred_mask=False)
+                     use_blurred_mask=False,
+                     # The RE10K flow writes perspective-derived panos
+                     # with mask_blurred=False (no pole blanking), so
+                     # the compacted RGB layout does not apply.
+                     pole_compact=False)
 
 
 def get_test_config() -> SE3DSConfig:

@@ -280,6 +280,20 @@ def test_pole_compact_bit_identical():
           np.asarray(getattr(out_on, field)), err_msg=field)
 
 
+def test_pole_valid_rows_matches_mask_pano():
+  """pole_valid_rows must stay in lockstep with geometry.mask_pano's row
+  arithmetic (compaction exactness depends on it: drift would silently
+  drop valid RGB points or keep void ones)."""
+  from se3ds_tpu.ops import geometry
+  for h in (16, 31, 32, 64, 512):
+    img = jnp.ones((1, h, 2 * h, 3), jnp.int32)
+    masked = np.asarray(geometry.mask_pano(img, masked_region_value=-99))
+    surviving = np.where(~np.all(masked[0] == -99, axis=(1, 2)))[0]
+    r0, r1 = inference.pole_valid_rows(h)
+    assert (surviving[0], surviving[-1] + 1) == (r0, r1), h
+    assert len(surviving) == r1 - r0, h
+
+
 def test_pole_compact_rejects_unmasked_writes():
   """Compaction is only valid when the pole rows were masked to void;
   an unmasked write must fail loudly with a pointer to the config."""

@@ -119,6 +119,9 @@ def test_sample_perturbed_views_batched_loop():
     assert out.pred_rgb.shape == (1, h, w, 3)
     assert out.pred_rgb.dtype == np.uint8
   assert model._frames_written == 1
+
+
+def test_fid_identical_pools_near_zero():
   rng = np.random.RandomState(3)
   pool = rng.rand(64, 16).astype(np.float64)
   value = fid.calculate_fid(pool, pool.copy())
