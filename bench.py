@@ -19,7 +19,10 @@ Env knobs:
   SE3DS_BENCH_ITERS  timed iterations (default 10)
   SE3DS_BENCH_GENDIMS generator dims (default 128)
   SE3DS_BENCH_SPLAT  scatter|sorted|fast (default fast)
-  SE3DS_BENCH_BATCH  per-chip train batch (train mode, default 8)
+  SE3DS_BENCH_BATCH  per-chip train batch (train mode, default 8);
+                     scenes served in lockstep (inference mode, default 1)
+  SE3DS_BENCH_FUSED  trajectory mode: 1 = one XLA program for all T
+                     frames (default), 0 = per-frame host loop A/B
 
 The GPU anchor (2.0 panoramas/sec) is a conservative estimate for the
 reference TF2 pipeline on a V100-class GPU: the generator alone is
