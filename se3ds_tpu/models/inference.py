@@ -355,6 +355,9 @@ class SE3DSModel:
                                    static_argnames=('start_frames',))
     self._jit_poses = jax.jit(self._poses_forward,
                               static_argnames=('num_frames',))
+    self._jit_step = jax.jit(
+        self._step_forward,
+        static_argnames=('num_frames', 'use_projected_rgb'))
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
@@ -546,6 +549,43 @@ class SE3DSModel:
       )
     return out
 
+  _LEAN_KEYS = ('proj_semantic_u8', 'pred_semantic_u8', 'proj_rgb_u8',
+                'pred_rgb_u8', 'proj_depth', 'pred_depth', 'mu', 'logvar',
+                'proj_mask')
+
+  def _step_forward(self, variables, memory: MemoryState, prev_rgb_frame,
+                    position, num_frames: int,
+                    use_projected_rgb: bool = False):
+    """One feedback frame — splat -> generate -> unproject -> memory
+    write — in ONE traced program. The per-frame sibling of
+    `_trajectory_forward` (which chains it T times): the ~28 MB of
+    f32/int32 memory-feed tensors never leave the device, and the
+    forward + memory write is one dispatch instead of two.
+
+    Returns (lean output dict, new memory, new prev_rgb_frame).
+    """
+    out = self._forward(variables, memory, prev_rgb_frame, position,
+                        num_frames=num_frames, feed=True)
+    # The memory feed is always the generator's raw outputs, independent
+    # of use_projected_rgb (reference models.py:335-347).
+    new_memory = memory_add_pano(
+        memory, out['pc_rgb'], out['pred_semantic'][..., None],
+        out['pred_depth'], position, depth_scale=self.depth_scale,
+        mask_blurred=True, pole_compact=self.config.pole_compact)
+    new_prev = out['generated_rgb']
+    lean = {k: out[k] for k in self._LEAN_KEYS}
+    if use_projected_rgb:
+      # Reference models.py:327-333: returned predictions add the
+      # projected guidance; the previous-frame feedback becomes the raw
+      # generated RGB re-quantised through the memory int path.
+      pred_rgb = (out['proj_rgb'] * 255).astype(jnp.int32) + out['pc_rgb']
+      lean['pred_rgb_u8'] = jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8)
+      lean['pred_semantic_u8'] = (
+          out['proj_semantic'] + out['pred_semantic']).astype(jnp.uint8)
+      lean['pred_depth'] = out['proj_depth'] + out['pred_depth']
+      new_prev = (jnp.clip(out['pc_rgb'], 0, 255) / 255).astype(jnp.float32)
+    return lean, new_memory, new_prev
+
   def _trajectory_forward(self, variables, memory: MemoryState,
                           prev_rgb_frame, positions, start_frames: int):
     """T autoregressive frames in ONE traced program (see
@@ -553,21 +593,13 @@ class SE3DSModel:
     num_frames = positions.shape[0]
     per_frame = []
     for t in range(num_frames):
-      position = positions[t]
       # Exact live extents (no power-of-two bucketing): the whole
       # trajectory is one compile, so there is no per-extent compile
       # cost to amortise — each frame splats exactly the frames written.
-      out = self._forward(variables, memory, prev_rgb_frame, position,
-                          num_frames=max(1, start_frames + t), feed=True)
-      prev_rgb_frame = out['generated_rgb']
-      memory = memory_add_pano(
-          memory, out['pc_rgb'], out['pred_semantic'][..., None],
-          out['pred_depth'], position, depth_scale=self.depth_scale,
-          mask_blurred=True, pole_compact=self.config.pole_compact)
-      per_frame.append({k: out[k] for k in (
-          'proj_semantic_u8', 'pred_semantic_u8', 'proj_rgb_u8',
-          'pred_rgb_u8', 'proj_depth', 'pred_depth', 'mu', 'logvar',
-          'proj_mask')})
+      lean, memory, prev_rgb_frame = self._step_forward(
+          variables, memory, prev_rgb_frame, positions[t],
+          num_frames=max(1, start_frames + t))
+      per_frame.append(lean)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
     return stacked, memory, prev_rgb_frame
 
@@ -681,38 +713,22 @@ class SE3DSModel:
     # Bucket the static frame count to the next power of two (capped at
     # memory_frames): any extent >= frames_written is exact (the extra
     # slots are void and splat-skipped), and bucketing bounds the number
-    # of compiled _forward variants at log2(memory_frames)+1 instead of
+    # of compiled variants at log2(memory_frames)+1 instead of
     # memory_frames — each compile costs minutes on relay backends.
     bucket = self._pow2_bucket(max(1, self._frames_written))
-    out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
-                         position,
-                         num_frames=min(bucket, self.config.memory_frames),
-                         feed=add_preds_to_memory)
-
-    pred_rgb_u8 = out['pred_rgb_u8']
-    pred_semantic_u8 = out['pred_semantic_u8']
-    pred_depth = out['pred_depth']
+    num_frames = min(bucket, self.config.memory_frames)
     if add_preds_to_memory:
-      generated_rgb = out['generated_rgb']
+      # Fused feedback step: forward + memory write in one program (the
+      # feed tensors never leave the device; one dispatch, not two).
       self._check_memory_capacity()
-      pred_rgb_mem = out['pc_rgb']
-      pred_semantic_mem = out['pred_semantic']
-      pred_depth_mem = out['pred_depth']
-      if use_projected_rgb:
-        pred_rgb = (out['proj_rgb'] * 255).astype(jnp.int32) + pred_rgb_mem
-        pred_semantic = out['proj_semantic'] + pred_semantic_mem
-        pred_depth = out['proj_depth'] + pred_depth_mem
-        generated_rgb = (jnp.clip(pred_rgb_mem, 0, 255) / 255).astype(
-            jnp.float32)
-        pred_rgb_u8 = jnp.clip(pred_rgb, 0, 255).astype(jnp.uint8)
-        pred_semantic_u8 = pred_semantic.astype(jnp.uint8)
-      self.prev_rgb_frame = generated_rgb
-      self._memory = self._jit_add(
-          self._memory, pred_rgb_mem, pred_semantic_mem[..., None],
-          pred_depth_mem, position, mask_blurred=True)
+      out, new_memory, new_prev = self._jit_step(
+          self.variables, self._memory, self.prev_rgb_frame, position,
+          num_frames=num_frames, use_projected_rgb=use_projected_rgb)
+      self._memory = new_memory
+      self.prev_rgb_frame = new_prev
       self._frames_written = min(self.config.memory_frames,
                                  self._frames_written + 1)
-
-    return self._to_output_data(out)._replace(
-        pred_semantic=pred_semantic_u8, pred_rgb=pred_rgb_u8,
-        pred_depth=pred_depth)
+      return self._to_output_data(out)
+    out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
+                         position, num_frames=num_frames, feed=False)
+    return self._to_output_data(out)

@@ -388,6 +388,41 @@ def test_batched_serving_matches_single_scene_models():
                     getattr(traj_s, field), f'traj {field}[scene {i}]')
 
 
+def test_use_projected_rgb_feedback(model):
+  """use_projected_rgb (reference models.py:327-333): the RETURNED
+  predictions add the projected guidance, while the memory feed and the
+  previous-frame feedback stay the raw generated outputs."""
+  model.reset_memory()
+  rgb, sem, depth = _synthetic_pano(model.height, seed=51)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+  target = np.asarray([[0.2, 0.1, 0.0]], np.float32)
+
+  ro = model(target)  # read-only baseline (same extent bucket)
+  upr = model(target, add_preds_to_memory=True, use_projected_rgb=True)
+  # Guidance fields are untouched by the flag.
+  for field in ('proj_semantic', 'proj_rgb', 'proj_depth', 'proj_mask'):
+    np.testing.assert_array_equal(np.asarray(getattr(upr, field)),
+                                  np.asarray(getattr(ro, field)), field)
+  # Returned depth/rgb add the projection onto the raw predictions
+  # (compared against a read-only call from a DIFFERENT program, so
+  # generator floats carry ~1-ULP fusion-context deltas — tolerance,
+  # not array_equal; the formula itself is pinned in _step_forward).
+  np.testing.assert_allclose(
+      np.asarray(upr.pred_depth),
+      np.asarray(ro.proj_depth) + np.asarray(ro.pred_depth),
+      rtol=1e-5, atol=1e-6)
+  raw_int = np.asarray(ro.pred_rgb, np.int64)
+  proj_int = np.asarray(ro.proj_rgb, np.int64)
+  _mostly_equal(np.asarray(upr.pred_rgb, np.int64),
+                np.clip(raw_int + proj_int, 0, 255), 'pred_rgb')
+  # Memory advanced by one frame; prev feedback is the re-quantised raw
+  # generated RGB, not the projected sum.
+  assert model._frames_written == 2
+  prev = np.asarray(model.prev_rgb_frame)
+  assert prev.shape == (1, model.height, model.width, 3)
+  assert prev.min() >= 0.0 and prev.max() <= 1.0
+
+
 def test_predict_poses_matches_per_pose_calls(model):
   """K read-only poses of one scene in one program (the VLN inner loop;
   the reference dispatches per pose). Splat guidance must be bitwise
