@@ -57,7 +57,13 @@ class MemoryState(NamedTuple):
 
 
 class OutputData(NamedTuple):
-  """Prediction outputs (reference models.py:40-74)."""
+  """Prediction outputs (reference models.py:40-74).
+
+  The last five fields are navigation-graph vestiges the reference
+  declares but never populates in this release (models.py:70-74 —
+  nothing in the repo writes them); they exist here so client code
+  ported from the reference can read them (always None).
+  """
   proj_semantic: jnp.ndarray
   pred_semantic: jnp.ndarray
   proj_rgb: jnp.ndarray
@@ -67,6 +73,11 @@ class OutputData(NamedTuple):
   mu: jnp.ndarray
   logvar: jnp.ndarray
   proj_mask: Optional[jnp.ndarray] = None
+  heading_enc: Optional[np.ndarray] = None
+  pitch_enc: Optional[np.ndarray] = None
+  features_enc: Optional[np.ndarray] = None
+  predicted_bucket_probs: Optional[jnp.ndarray] = None
+  predicted_node_xyz: Optional[list] = None
 
 
 def init_memory(batch_size: int, capacity: int,

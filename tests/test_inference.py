@@ -177,9 +177,11 @@ def test_forward_compiles_are_bucketed():
   model.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
   for i in range(config.memory_frames - 1):
     model(np.array([[0.2 * i, 0, 0]], np.float32), add_preds_to_memory=True)
+    model(np.array([[0.2 * i, 0, 0]], np.float32))  # read-only path too
   max_compiles = (config.memory_frames - 1).bit_length() + 1
-  assert model._jit_call._cache_size() <= max_compiles, (
-      model._jit_call._cache_size(), max_compiles)
+  for jitted in (model._jit_call, model._jit_step):
+    assert jitted._cache_size() <= max_compiles, (
+        jitted._cache_size(), max_compiles)
 
 
 def test_project_semantics_off_bit_identical_rgb():
@@ -230,6 +232,9 @@ def test_predict_trajectory_matches_per_frame_loop():
   assert traj.pred_rgb.shape == (2, 1, 32, 64, 3)
   for i, ref in enumerate(ref_outs):
     for field in ref._fields:
+      if getattr(ref, field) is None:  # vestigial nav-graph fields
+        assert getattr(traj, field) is None
+        continue
       np.testing.assert_array_equal(
           np.asarray(getattr(traj, field)[i]),
           np.asarray(getattr(ref, field)), err_msg=f'{field}[{i}]')
@@ -275,6 +280,9 @@ def test_pole_compact_bit_identical():
 
   for out_off, out_on in zip(outs[False], outs[True]):
     for field in out_off._fields:
+      if getattr(out_off, field) is None:
+        assert getattr(out_on, field) is None
+        continue
       np.testing.assert_array_equal(
           np.asarray(getattr(out_off, field)),
           np.asarray(getattr(out_on, field)), err_msg=field)
@@ -381,9 +389,13 @@ def test_batched_serving_matches_single_scene_models():
           err_msg=f'{field}[scene {i}]')
     for ob, os_ in zip(out_b, out_s):
       for field in ob._fields:
+        if getattr(ob, field) is None:
+          continue
         _mostly_equal(getattr(ob, field)[i:i + 1], getattr(os_, field),
                       f'{field}[scene {i}]')
     for field in traj_b._fields:
+      if getattr(traj_b, field) is None:
+        continue
       _mostly_equal(getattr(traj_b, field)[:, i:i + 1],
                     getattr(traj_s, field), f'traj {field}[scene {i}]')
 
@@ -443,6 +455,8 @@ def test_predict_poses_matches_per_pose_calls(model):
           np.asarray(getattr(batch, field)[i:i + 1]),
           np.asarray(getattr(single, field)), err_msg=f'{field}[pose {i}]')
     for field in batch._fields:
+      if getattr(batch, field) is None:
+        continue
       _mostly_equal(getattr(batch, field)[i:i + 1], getattr(single, field),
                     f'{field}[pose {i}]')
   # Memory untouched; multi-scene models are rejected.
