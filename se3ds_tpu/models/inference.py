@@ -716,9 +716,16 @@ class SE3DSModel:
 
   def __call__(self, position, add_preds_to_memory: bool = False,
                sample_noise: bool = False,
-               use_projected_rgb: bool = False) -> OutputData:
-    """Predicts the frame at `position` (reference models.py:247-366)."""
-    del sample_noise
+               use_projected_rgb: bool = False,
+               z=None) -> OutputData:
+    """Predicts the frame at `position` (reference models.py:247-366).
+
+    `sample_noise` and `z` are accepted for reference signature parity
+    but ignored: the release generator's VAE branch emits zeros for
+    mu/logvar and consumes no noise (reference image_models.py:172-182),
+    so they have no effect there either.
+    """
+    del sample_noise, z
     position = jnp.asarray(position, jnp.float32)
     assert self.prev_rgb_frame is not None
     # Bucket the static frame count to the next power of two (capped at
