@@ -67,7 +67,8 @@ def sample_perturbed_views(model, start_position, depth_image, num_samples,
                            max_offset_xy: float = 1.5,
                            max_offset_z: float = 0.1,
                            collision_threshold: float = 0.02,
-                           max_attempts: int = 100):
+                           max_attempts: int = 100,
+                           chunk: int = 8):
   """VLN augmentation loop (reference VLN notebook cell 13): samples
   collision-free viewpoint jitters and synthesises views there.
 
@@ -96,13 +97,19 @@ def sample_perturbed_views(model, start_position, depth_image, num_samples,
       positions.append(start + noise[None])
   if not positions:
     return []
-  # ... then synthesise ALL accepted views in ONE program: K splats of
-  # the shared scene cloud + one batch-K generator pass (predict_poses),
-  # instead of the reference's one host dispatch per pose.
-  outputs = model.predict_poses(np.concatenate(positions))
+  # ... then synthesise the accepted views in batched predict_poses
+  # programs — `chunk` splats of the shared scene cloud + one
+  # batch-`chunk` generator pass per dispatch — instead of the
+  # reference's one host dispatch per pose. Chunking bounds the
+  # program's activation footprint (a batch-K generator at production
+  # panorama sizes would exhaust HBM for large K) and, with chunk a
+  # power of two, reuses one compiled bucket.
   results = []
-  for i, position in enumerate(positions):
-    one = type(outputs)(*(
-        None if field is None else field[i:i + 1] for field in outputs))
-    results.append((position, one))
+  for start in range(0, len(positions), chunk):
+    block = positions[start:start + chunk]
+    outputs = model.predict_poses(np.concatenate(block))
+    for i, position in enumerate(block):
+      one = type(outputs)(*(
+          None if field is None else field[i:i + 1] for field in outputs))
+      results.append((position, one))
   return results
