@@ -78,6 +78,13 @@ def sample_perturbed_views(model, start_position, depth_image, num_samples,
     depth_image: (H, W) source depth pano in [0, 1].
     num_samples: Number of augmented views to return.
     rng: numpy RandomState.
+    chunk: Poses synthesised per predict_poses program (pow2 keeps one
+      compiled bucket). Batching trades ~7% throughput at production
+      pano size (the generator is already MXU-saturated at batch 1;
+      measured in PERF.md / scripts/bench_poses.py) for 1/chunk the
+      dispatches — a latency win on high-latency links and a clear win
+      at smaller models/resolutions. chunk=1 recovers the reference's
+      per-pose dispatch pattern.
 
   Returns:
     List of (position, OutputData) tuples.
