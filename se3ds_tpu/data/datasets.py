@@ -153,12 +153,14 @@ class BaseDataset:
     self.image_size = image_size
     self.num_classes = num_classes
     self.z_dim = z_dim
-    # Reference base_dataset.py:36-50: 'cpu_generator' draws z from a
-    # per-pipeline host generator, 'cpu_random' from global host random,
-    # 'device' defers z to the accelerator — the host batch carries no
-    # 'z' key and the train step draws it per-step (see device_z below).
-    # z is vestigial in this release (the generator's second input is
-    # always None), but the mode is public dataset surface.
+    # Reference base_dataset.py:36-50 distinguishes 'cpu_generator'
+    # (per-pipeline stateful generator) from 'cpu_random' (global host
+    # random op); here BOTH are aliases drawing from the same
+    # per-pipeline numpy RNG — the distinction only matters for TF's
+    # op-level seeding model, and z is vestigial in this release (the
+    # generator's second input is always None). 'device' defers z to
+    # the accelerator: the host batch carries no 'z' key and the train
+    # step draws it per-step (see device_z below).
     if z_generator not in ('cpu_generator', 'cpu_random', 'device'):
       raise ValueError(f'Unknown z_generator mode: {z_generator!r}')
     self.z_generator = z_generator

@@ -283,6 +283,18 @@ class SE3DSModel:
       has no distributed inference at all (models.py:239-245 is a
       single-device concat).
     """
+    if config.splat_mode == 'pallas' and mesh is None:
+      # Warm the Mosaic probe EAGERLY (it cannot run inside a jit trace;
+      # unwarmed, every traced program would silently degrade to 'fast').
+      from se3ds_tpu.ops import splat_pallas  # lazy import
+      splat_pallas.pallas_available()
+    if mesh is not None and config.splat_mode == 'pallas':
+      # 'pallas' is always safe to request (it auto-degrades wherever
+      # the Mosaic kernel is unavailable, ops/geometry.py); its sharded
+      # degradation target is 'fast', the mode whose semantics it
+      # reproduces bit-for-bit.
+      import dataclasses  # lazy
+      config = dataclasses.replace(config, splat_mode='fast')
     if mesh is not None and config.splat_mode not in (
         'fast', 'fast_exact', 'scatter'):
       raise ValueError(

@@ -49,6 +49,38 @@ def _normalize_view_coords(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
   return view, depth
 
 
+def pixel_coords(transformed_coords: jnp.ndarray, feats: jnp.ndarray,
+                 height: int, width: int, input_void_class: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Per-point pixel mapping shared by EVERY splat mode.
+
+  Truncation toward zero matches tf.cast(float -> int32) (reference
+  point_cloud_utils.py:129-153); validity = in-bounds AND depth > 0 AND
+  non-void features (:139-148). Invalid points get the out-of-bounds
+  sentinel index height*width, which scatter mode='drop' skips (a
+  negative sentinel would wrap, numpy-style, before the drop). This is
+  THE definition of the pixel/validity rule — modes must not re-derive
+  it or they silently diverge on the fidelity traps above.
+
+  Args:
+    transformed_coords: (N, 4, M) pose-relative homogeneous coordinates.
+    feats: (N, M, C) feature values.
+
+  Returns:
+    flat: (N, M) int32 flat pixel index (sentinel height*width).
+    depth: (N, M) raw z depth.
+    valid: (N, M) bool validity.
+  """
+  view, depth = _normalize_view_coords(transformed_coords)
+  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
+  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
+  valid = (
+      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
+      & jnp.all(feats != input_void_class, axis=-1))
+  flat = jnp.where(valid, py * width + px, height * width)
+  return flat, depth, valid
+
+
 def project_to_feat(
     transformed_coords: jnp.ndarray,
     feats: jnp.ndarray,
@@ -86,19 +118,9 @@ def project_to_feat(
   batch_size, _, num_points = transformed_coords.shape
   channels = feats.shape[-1]
 
-  view, depth = _normalize_view_coords(transformed_coords)
-  # Truncation toward zero matches tf.cast(float -> int32).
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-
   num_pixels = height * width
-  flat = py * width + px  # (N, M), per-batch flat pixel index.
-  # Invalid points get an out-of-bounds index; mode='drop' then skips the
-  # update. (A negative sentinel would wrap, numpy-style, before the drop.)
-  flat = jnp.where(valid, flat, num_pixels)
+  flat, depth, valid = pixel_coords(transformed_coords, feats, height,
+                                    width, input_void_class)
 
   zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
   zbuf = _batched_scatter_min(zbuf, flat, depth)
@@ -194,13 +216,8 @@ def project_to_feat_fast(
   batch_size, _, _ = transformed_coords.shape
   num_pixels = height * width
 
-  view, depth = _normalize_view_coords(transformed_coords)
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-  flat = jnp.where(valid, py * width + px, num_pixels)
+  flat, depth, valid = pixel_coords(transformed_coords, feats, height,
+                                    width, input_void_class)
 
   # Exact depth buffer (f32 scatter-min).
   zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
@@ -277,13 +294,8 @@ def project_to_feat_fast_exact(
   batch_size, _, _ = transformed_coords.shape
   num_pixels = height * width
 
-  view, depth = _normalize_view_coords(transformed_coords)
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-  flat = jnp.where(valid, py * width + px, num_pixels)
+  flat, depth, valid = pixel_coords(transformed_coords, feats, height,
+                                    width, input_void_class)
 
   # Pass 1: exact depth buffer.
   zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
@@ -349,13 +361,8 @@ def project_to_feat_sorted(
   channels = feats.shape[-1]
   num_pixels = height * width
 
-  view, depth = _normalize_view_coords(transformed_coords)
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-  flat = jnp.where(valid, py * width + px, num_pixels)  # invalid -> sentinel
+  flat, depth, valid = pixel_coords(transformed_coords, feats, height,
+                                    width, input_void_class)
 
   def one_batch(flat_b, depth_b, feats_b):
     # Sort by (pixel, depth). The z-buffer stores min(depth, depth_scale)

@@ -92,10 +92,15 @@ def _splat_kernel(flat_ref, depth_ref, packed_ref,  # (1, CHUNK, 1) in VMEM
                    jnp.asarray(-(2**31), jnp.int32))
 
   # The chunk is sorted, so it spans the contiguous row range
-  # [rows_pt[0], rows_pt[-1]]; sentinel-padded points (flat == num_pixels)
-  # sort to the end and land on row num_rows, which the bound excludes.
+  # [rows_pt[0], rows_pt[-1]]. Sentinel-padded points (flat ==
+  # num_pixels) sort to the end; derive row_last from the last
+  # NON-sentinel point so the boundary chunk's row walk stops at the
+  # valid data — taking it from rows_pt[-1] would scan every row up to
+  # num_rows (~6 ms wasted at 1024x512 for sparse clouds). An
+  # all-sentinel chunk yields row_last = -1 and the loop body never runs.
   row_first = flat_ref[0, 0, 0] // _LANES
-  row_last = flat_ref[0, CHUNK - 1, 0] // _LANES
+  row_last = jnp.max(
+      jnp.where(flat < num_rows * _LANES, rows_pt, -1))
 
   def body(r, _):
     rmask = rows_pt == r  # (CHUNK, 1), broadcasts over lanes
@@ -157,7 +162,9 @@ def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
           pbuf.reshape(batch, num_pixels))
 
 
-@functools.lru_cache(maxsize=1)
+_PALLAS_OK = None  # manual cache: a trace-time deferral must NOT stick
+
+
 def pallas_available() -> bool:
   """True when the Mosaic toolchain can compile+run the splat kernel.
 
@@ -166,10 +173,32 @@ def pallas_available() -> bool:
   caught). Callers use this to degrade splat_mode='pallas' to the packed
   'fast' scatter instead of raising (see geometry.
   project_feats_to_equirectangular).
+
+  The probe needs a real dispatch + host fetch, which is impossible while
+  an outer jit is TRACING (geometry picks the splat fn at trace time, and
+  under a trace the probe's arrays become tracers). In that case this
+  returns False for the current trace WITHOUT caching, and logs how to
+  get the kernel: probe eagerly first — SE3DSModel.__init__ does this
+  automatically for splat_mode='pallas'.
   """
+  global _PALLAS_OK
+  if _PALLAS_OK is not None:
+    return _PALLAS_OK
   import logging
   import numpy as np
   log = logging.getLogger('se3ds_tpu')
+  try:
+    from jax._src import core as _core  # no public trace-state API
+    trace_clean = _core.trace_state_clean()
+  except Exception:  # API drift: assume clean and let the probe decide
+    trace_clean = True
+  if not trace_clean:
+    log.warning(
+        "Pallas splat probe skipped: first called during jit tracing, "
+        "where it cannot compile+fetch. Degrading THIS program to 'fast'"
+        " (not cached); call pallas_available() eagerly once to enable "
+        "the kernel (SE3DSModel.__init__ does).")
+    return False
   try:
     coords = jnp.stack([
         jnp.linspace(-0.5, 0.5, CHUNK), jnp.linspace(-0.5, 0.5, CHUNK),
@@ -178,13 +207,14 @@ def pallas_available() -> bool:
     zbuf, _ = project_to_feat_pallas(coords, feats, 8, _LANES,
                                      depth_scale=20.0, input_void_class=-1.0)
     np.asarray(zbuf)  # host fetch forces the real (relay) compile
-    return True
+    _PALLAS_OK = True
   except Exception as e:  # MosaicError/XlaRuntimeError shapes vary by build
     log.warning(
         'Pallas splat kernel unavailable on this toolchain (%s: %s); '
         "splat_mode='pallas' degrades to 'fast'.",
         type(e).__name__, str(e)[:200])
-    return False
+    _PALLAS_OK = False
+  return _PALLAS_OK
 
 
 def project_to_feat_pallas(
@@ -214,8 +244,11 @@ def project_to_feat_pallas(
     feats = feats[..., None]
   channels = feats.shape[-1]
   num_pixels = height * width
+  # num_points == 0: a zero-step grid would leave the output buffers
+  # uninitialised; the XLA path returns the correct all-void image.
   if (channels > 3 or num_pixels % _LANES != 0
-      or num_pixels > _MAX_VMEM_PIXELS):
+      or num_pixels > _MAX_VMEM_PIXELS
+      or transformed_coords.shape[-1] == 0):
     out = splat_lib.project_to_feat_fast(
         transformed_coords, feats, height, width, depth_scale,
         input_void_class, output_void_class)
@@ -224,13 +257,8 @@ def project_to_feat_pallas(
   feats = feats.astype(dtype)
   batch_size, _, num_points = transformed_coords.shape
 
-  view, depth = splat_lib._normalize_view_coords(transformed_coords)
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-  flat = jnp.where(valid, py * width + px, num_pixels).astype(jnp.int32)
+  flat, depth, valid = splat_lib.pixel_coords(
+      transformed_coords, feats, height, width, input_void_class)
 
   qdepth = jnp.clip(depth / depth_scale * 255.0, 0.0, 255.0).astype(
       jnp.uint32)

@@ -43,16 +43,9 @@ from se3ds_tpu.ops import splat
 _TOL = splat.DEPTH_COLLISION_TOLERANCE
 
 
-def _pixel_coords(proj_xyz1, feats, height, width, input_void_class):
-  """Per-point flat pixel index + depth + validity (splat.py:89-101)."""
-  view, depth = splat._normalize_view_coords(proj_xyz1)
-  px = ((view[:, 0, :] + 1.0) / 2.0 * width).astype(jnp.int32)
-  py = ((view[:, 1, :] + 1.0) / 2.0 * height).astype(jnp.int32)
-  valid = (
-      (px >= 0) & (px < width) & (py >= 0) & (py < height) & (depth > 0)
-      & jnp.all(feats != input_void_class, axis=-1))
-  flat = jnp.where(valid, py * width + px, height * width)
-  return flat, depth, valid
+# The ONE definition of the per-point pixel/validity rule, shared with
+# every single-device mode (see its docstring for the fidelity traps).
+_pixel_coords = splat.pixel_coords
 
 
 def _pack_bytes(feats, bias_bit):

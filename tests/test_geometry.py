@@ -221,6 +221,20 @@ def test_pallas_splat_interpret_matches_fast():
   np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
 
 
+def test_pallas_splat_empty_cloud():
+  """M == 0 must return the all-void image (a zero-step Pallas grid
+  would leave the output buffers uninitialised; the wrapper falls back
+  to the XLA path, whose empty scatter is a no-op on the init values)."""
+  from se3ds_tpu.ops import splat_pallas
+  coords = jnp.zeros((1, 4, 0), jnp.float32)
+  feats = jnp.zeros((1, 0, 3), jnp.float32)
+  pd, pf = splat_pallas.project_to_feat_pallas(
+      coords, feats, 32, 64, depth_scale=20.0, input_void_class=-1.0,
+      output_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd), np.ones((1, 32, 64)))
+  np.testing.assert_array_equal(np.asarray(pf), np.full((1, 32, 64, 3), -1.0))
+
+
 def test_pinhole_intrinsics_analytic():
   """hfov=90deg -> focal 1/tan(45deg)=1 -> identity-scaled intrinsics
   (reference point_cloud_utils.py:23-29)."""

@@ -505,6 +505,26 @@ def test_spatial_sharded_generator_model_matches_single_device():
       - np.asarray(sharded.pred_rgb, np.int32))) <= 1
 
 
+def test_mesh_degrades_pallas_to_fast():
+  """splat_mode='pallas' is always safe to request (auto-degrades where
+  Mosaic is unavailable); with a mesh it must degrade to its semantic
+  twin 'fast' — which has a sharded path — instead of raising, while
+  'sorted' (different semantics, no sharded path) still fails loudly."""
+  import dataclasses
+  import jax
+  from se3ds_tpu.parallel import mesh as mesh_lib
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 devices')
+  mesh8 = mesh_lib.create_mesh(num_data=8, num_spatial=1)
+  base = model_config.get_test_config()
+  m = inference.SE3DSModel(
+      dataclasses.replace(base, splat_mode='pallas'), mesh=mesh8)
+  assert m.config.splat_mode == 'fast'
+  with pytest.raises(ValueError, match='no sharded path'):
+    inference.SE3DSModel(
+        dataclasses.replace(base, splat_mode='sorted'), mesh=mesh8)
+
+
 def test_mesh_sharded_model_matches_single_device():
   """SE3DSModel(mesh=...) shards the splat point axis over 8 devices;
   outputs match the single-device model (projections bit-equal up to
