@@ -12,7 +12,7 @@ RedNet-101 forward + TF scatter splat). The driver's north star is >=5x
 that anchor.
 
 Env knobs:
-  SE3DS_BENCH_MODE   inference (default) | train | eval | trajectory
+  SE3DS_BENCH_MODE   inference (default) | train | eval | trajectory | stream
   SE3DS_BENCH_SIZE   image height (default 512; train mode default 128)
   SE3DS_BENCH_DTYPE  float32|bfloat16 (default bfloat16)
   SE3DS_BENCH_FRAMES memory capacity in frames (default 2)
@@ -233,6 +233,74 @@ def bench_eval():
   print(json.dumps(result))
 
 
+def bench_stream():
+  """Sustained streaming serving: a ring-buffer memory
+  (`SE3DSConfig.memory_mode='ring'`) slides a `memory_frames` window
+  over an UNBOUNDED autoregressive trajectory at constant HBM, so a
+  steady state exists — every frame splats the full window and feeds
+  its prediction back. The reference cannot run this workload at all:
+  its memory grows by H*W points per frame (models.py:239-245), so
+  frame time grows linearly until OOM. Reports steady-state
+  panoramas/sec at the full window (production 1024x512 shapes).
+
+  Env: SE3DS_BENCH_SIZE (512), SE3DS_BENCH_FRAMES (window size,
+  default 4), SE3DS_BENCH_ITERS (timed steady-state frames, default
+  10), SE3DS_BENCH_GENDIMS (128), SE3DS_BENCH_SPLAT.
+  """
+  import numpy as np
+  from se3ds_tpu.models import inference, model_config
+
+  size = int(os.environ.get('SE3DS_BENCH_SIZE', 512))
+  dtype = os.environ.get('SE3DS_BENCH_DTYPE', 'bfloat16')
+  frames = int(os.environ.get('SE3DS_BENCH_FRAMES', 4))
+  iters = int(os.environ.get('SE3DS_BENCH_ITERS', 10))
+  gen_dims = int(os.environ.get('SE3DS_BENCH_GENDIMS', 128))
+
+  config = model_config.SE3DSConfig(
+      ckpt_path=None, image_height=size, gen_dims=gen_dims,
+      resnet_version='101', memory_frames=frames, compute_dtype=dtype,
+      memory_mode='ring',
+      splat_mode=os.environ.get('SE3DS_BENCH_SPLAT', 'fast'))
+  model = inference.SE3DSModel(config)
+
+  h, w = size, size * 2
+  rng = np.random.RandomState(0)
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
+  model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
+
+  targets = (rng.uniform(-1, 1, (frames + 1 + iters, 1, 3))
+             .astype(np.float32) * np.array([1, 1, 0.1], np.float32))
+
+  # Warm to steady state: fill the window (compiling each pow2 extent
+  # bucket once) and wrap once, so the timed frames reuse ONE program
+  # (full-window extent, traced ring slot).
+  step = 0
+  for _ in range(frames + 1):
+    out = model(targets[step], add_preds_to_memory=True)
+    step += 1
+  _ = np.asarray(out.pred_rgb[0, 0, :4])
+  t0 = time.perf_counter()
+  _ = np.asarray(out.pred_rgb[0, 0, :4])
+  fetch_latency = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out = model(targets[step], add_preds_to_memory=True)
+    step += 1
+  _ = np.asarray(out.pred_rgb[0, 0, :4])
+  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  panos_per_sec = iters / elapsed
+  print(json.dumps({
+      'metric': (f'{w}x{h} streaming panoramas/sec/chip (ring window '
+                 f'{frames} frames, steady state)'),
+      'value': round(panos_per_sec, 4),
+      'unit': 'panoramas/sec',
+      'vs_baseline': round(panos_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),
+  }))
+
+
 def bench_trajectory():
   """Fused autoregressive trajectory serving: `predict_trajectory` runs
   splat -> generate -> unproject -> memory-feedback for T frames in ONE
@@ -246,6 +314,7 @@ def bench_trajectory():
   (__call__ with add_preds_to_memory=True, the reference's only serving
   mode) for an A/B against the fused program.
   """
+  import jax
   import jax.numpy as jnp
   import numpy as np
   from se3ds_tpu.models import inference, model_config
@@ -262,6 +331,9 @@ def bench_trajectory():
   config = model_config.SE3DSConfig(
       ckpt_path=None, image_height=size, gen_dims=gen_dims,
       resnet_version='101', memory_frames=frames, compute_dtype=dtype,
+      # SE3DS_BENCH_DONATE=0 disables buffer donation for an A/B of the
+      # in-place memory writes.
+      donate_memory=os.environ.get('SE3DS_BENCH_DONATE', '1') != '0',
       splat_mode=os.environ.get('SE3DS_BENCH_SPLAT', 'fast'))
   model = inference.SE3DSModel(config)
 
@@ -271,17 +343,26 @@ def bench_trajectory():
   sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
   depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
   model.add_to_memory(rgb, sem, depth, np.zeros((1, 3), np.float32))
-  mem0, prev0 = model.get_memory_state(), model.prev_rgb_frame
+  # get_memory_state() copies, so mem0/prev0 survive the donation of the
+  # model's own buffers by each mutating run.
+  mem0 = model.get_memory_state()
+  prev0 = jnp.copy(model.prev_rgb_frame)
 
   t_len = frames - 1
   targets = (rng.uniform(-1, 1, (t_len, 1, 3)).astype(np.float32)
              * np.array([1, 1, 0.1], np.float32))
 
-  def restore():
+  # Every run DONATES the restored buffers (in-place memory writes), so
+  # each timed iteration needs its own snapshot; copy them OUTSIDE the
+  # timing loop so restore is a pointer swap, not a device copy.
+  snapshots = [(jax.tree.map(jnp.copy, mem0), jnp.copy(prev0))
+               for _ in range(iters)]
+
+  def restore(snap):
     # Bypass set_memory_state: its cursor fetch is a host sync that
     # would serialise the timing loop.
-    model._memory, model.prev_rgb_frame = mem0, prev0
-    model._frames_written = 1
+    model._memory, model.prev_rgb_frame = snap
+    model._frames_written = model._total_frames = 1
 
   fused = os.environ.get('SE3DS_BENCH_FUSED', '1') != '0'
 
@@ -300,8 +381,8 @@ def bench_trajectory():
   fetch_latency = time.perf_counter() - t0
 
   t0 = time.perf_counter()
-  for _ in range(iters):
-    restore()
+  for snap in snapshots:
+    restore(snap)
     out = run()
   _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
@@ -327,6 +408,9 @@ def main():
     return
   if mode == 'trajectory':
     bench_trajectory()
+    return
+  if mode == 'stream':
+    bench_stream()
     return
   import jax
   import jax.numpy as jnp

@@ -125,7 +125,8 @@ def memory_add_pano(memory: MemoryState,
                     position: jnp.ndarray,
                     depth_scale: float,
                     mask_blurred: bool = True,
-                    pole_compact: bool = False) -> MemoryState:
+                    pole_compact: bool = False,
+                    write_slot: Optional[jnp.ndarray] = None) -> MemoryState:
   """Unprojects an RGB-D pano and writes it into the memory buffer.
 
   Mirrors reference add_to_memory (models.py:180-245) with cursor-based
@@ -145,9 +146,14 @@ def memory_add_pano(memory: MemoryState,
       them dynamically, models.py:229-237). The memory's RGB buffers
       must be laid out with `pole_valid_rows(H)` rows per frame (the
       SE3DSConfig.pole_compact layout).
+    write_slot: Optional () int32 FRAME slot to write (may be traced).
+      Defaults to the next slot after the cursor; `SE3DSModel` passes
+      `total_frames % memory_frames` in ring mode so a full buffer
+      wraps onto the oldest frame. The cursor then tracks the VALID
+      slot count (saturating at capacity) rather than the write offset.
 
   Returns:
-    Updated MemoryState (cursor advanced by H*W).
+    Updated MemoryState (cursor advanced by H*W, saturating at capacity).
   """
   if pole_compact and not mask_blurred:
     raise ValueError(
@@ -194,10 +200,19 @@ def memory_add_pano(memory: MemoryState,
   if num_new > cap or rgb_new > rgb_cap:
     raise ValueError(f'Frame has {num_new}/{rgb_new} points > memory '
                      f'capacity {cap}/{rgb_cap}.')
-  cur = memory.cursor
-  # The cursor counts semantic slots; each frame writes exactly `num_new`
-  # of them, so the RGB offset is frames-written * rgb-points-per-frame.
-  rgb_cur = (cur // num_new) * rgb_new
+  if write_slot is None:
+    # The cursor counts semantic slots; each frame writes exactly
+    # `num_new` of them, so the next frame slot is cursor // num_new.
+    cur = memory.cursor
+    rgb_cur = (cur // num_new) * rgb_new
+  else:
+    slot = jnp.asarray(write_slot, jnp.int32)
+    cur = slot * num_new
+    rgb_cur = slot * rgb_new
+  # Valid-slot count: explicit-slot writes may land BEHIND the cursor
+  # (ring wrap), so the count never decreases; both forms saturate at
+  # capacity.
+  new_cursor = jnp.minimum(jnp.maximum(memory.cursor, cur + num_new), cap)
 
   coords = jax.lax.dynamic_update_slice(
       memory.coords, xyz1.astype(jnp.float32), (0, 0, cur))
@@ -208,8 +223,7 @@ def memory_add_pano(memory: MemoryState,
   rgb_buf = jax.lax.dynamic_update_slice(
       memory.rgb, rgb_feats.astype(jnp.float32), (0, rgb_cur, 0))
   return MemoryState(coords=coords, feats=feats_buf, rgb_coords=rgb_coords,
-                     rgb=rgb_buf,
-                     cursor=jnp.minimum(cur + num_new, cap).astype(jnp.int32))
+                     rgb=rgb_buf, cursor=new_cursor.astype(jnp.int32))
 
 
 def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
@@ -314,6 +328,13 @@ class SE3DSModel:
     # elements add/predict together). `.ply` export stays batch-0-only.
     if config.batch_size < 1:
       raise ValueError(f'batch_size must be >= 1, got {config.batch_size}.')
+    if config.memory_mode not in ('strict', 'ring'):
+      raise ValueError(f"memory_mode must be 'strict' or 'ring', got "
+                       f'{config.memory_mode!r}.')
+    # Ring mode: writes past capacity wrap onto the oldest frame's slots
+    # (sliding window) instead of raising — unbounded streaming
+    # trajectories at constant HBM (see SE3DSConfig.memory_mode).
+    self._ring = config.memory_mode == 'ring'
     self.batch_size = config.batch_size
     self.height = config.image_height
     self.width = config.image_height * 2
@@ -368,19 +389,32 @@ class SE3DSModel:
           spectral_fold=True)
 
     self.prev_rgb_frame = None
+    # The three memory-MUTATING programs donate the memory buffers (and
+    # the previous-frame feedback): XLA aliases the donated input with
+    # the returned state, so the dynamic_update_slice writes happen
+    # in place instead of copying the full-capacity buffers (~170 MB at
+    # 8-frame 1024x512 capacity) every call. Model-owned buffers are the
+    # only ones ever donated — `get_memory_state`/`set_memory_state`
+    # copy at the API boundary, so client-held states stay valid.
+    # Read-only programs (`_jit_call`, `_jit_poses`) donate nothing.
+    donate = (('memory', 'prev_rgb_frame') if config.donate_memory
+              else ())
     self._jit_add = jax.jit(functools.partial(
         memory_add_pano, depth_scale=self.depth_scale,
         pole_compact=config.pole_compact),
-        static_argnames=('mask_blurred',))
+        static_argnames=('mask_blurred',),
+        donate_argnames=('memory',) if config.donate_memory else ())
     self._jit_call = jax.jit(self._forward,
                              static_argnames=('num_frames', 'feed'))
     self._jit_trajectory = jax.jit(self._trajectory_forward,
-                                   static_argnames=('start_frames',))
+                                   static_argnames=('start_frames',),
+                                   donate_argnames=donate)
     self._jit_poses = jax.jit(self._poses_forward,
                               static_argnames=('num_frames',))
     self._jit_step = jax.jit(
         self._step_forward,
-        static_argnames=('num_frames', 'use_projected_rgb'))
+        static_argnames=('num_frames', 'use_projected_rgb'),
+        donate_argnames=donate)
     self.reset_memory()
 
   # -- memory management ----------------------------------------------------
@@ -388,10 +422,35 @@ class SE3DSModel:
   def reset_memory(self):
     self._memory = init_memory(self.batch_size, self.capacity,
                                self.rgb_capacity)
+    # _frames_written = VALID frames (live splat extent; <= memory_frames);
+    # _total_frames = frames ever written (unbounded; drives the ring
+    # write slot). Equal until the first ring wrap.
     self._frames_written = 0
+    self._total_frames = 0
 
-  def get_memory_state(self) -> MemoryState:
-    return self._memory
+  def _next_write_slot(self) -> int:
+    """Frame slot the next write lands in (wraps in ring mode)."""
+    return self._total_frames % self.config.memory_frames
+
+  def _count_frames(self, new_frames: int = 1):
+    self._total_frames += new_frames
+    self._frames_written = min(self.config.memory_frames,
+                               self._frames_written + new_frames)
+
+  def get_memory_state(self, copy: bool = True) -> MemoryState:
+    """Returns the current memory state.
+
+    With `copy=True` (default) the buffers are device-copied so the
+    returned state stays valid forever: the model's own buffers are
+    DONATED to the next mutating call (`add_to_memory`,
+    `add_preds_to_memory=True`, `predict_trajectory`) and reused in
+    place. `copy=False` returns the live buffers without the copy —
+    cheaper, but they are invalidated by the next mutating call (JAX
+    raises on use of a donated buffer, so misuse fails loudly).
+    """
+    if not copy:
+      return self._memory
+    return jax.tree.map(jnp.copy, self._memory)
 
   def set_memory_state(self, state: MemoryState):
     if state.rgb_coords.shape[-1] != self.rgb_capacity:
@@ -400,12 +459,19 @@ class SE3DSModel:
           f'match this model\'s layout ({self.rgb_capacity}; '
           f'pole_compact={self.config.pole_compact}). States are only '
           'portable between models with the same pole_compact setting.')
-    self._memory = state
+    # Defensive copy: the model donates its own buffers to mutating
+    # calls; adopting the caller's arrays directly would invalidate the
+    # caller's state object on the next add/predict.
+    self._memory = jax.tree.map(jnp.copy, state)
     # Recover the live extent from the cursor (host fetch; non-hot path).
+    # The cursor counts VALID slots, so a ring-wrapped state restores as
+    # "full"; subsequent ring writes start over at slot 0 (slot 0 is the
+    # oldest frame by convention after a restore).
     frame_points = self.height * self.width
     self._frames_written = min(
         self.config.memory_frames,
         -(-int(np.asarray(state.cursor)) // frame_points))
+    self._total_frames = self._frames_written
 
   def write_memory_as_pointcloud(self, filename: str):
     """Writes valid RGB memory points of batch 0 to an ASCII .ply file."""
@@ -438,8 +504,11 @@ class SE3DSModel:
     fixed-capacity buffer cannot, and silently overwriting the last
     frame's slots would be a behavioural cliff for long trajectories —
     so the host API fails loudly instead. Raise `memory_frames` in the
-    config (or `reset_memory()`) to continue.
+    config (or `reset_memory()`) to continue. Ring mode never raises:
+    writes wrap onto the oldest frame (SE3DSConfig.memory_mode).
     """
+    if self._ring:
+      return
     if self._frames_written >= self.config.memory_frames:
       raise ValueError(
           f'Point-cloud memory is full ({self.config.memory_frames} frames'
@@ -455,9 +524,9 @@ class SE3DSModel:
     self._memory = self._jit_add(
         self._memory, pano_rgb, jnp.asarray(pano_semantic),
         jnp.asarray(pano_depth), jnp.asarray(position),
-        mask_blurred=mask_blurred)
-    self._frames_written = min(self.config.memory_frames,
-                               self._frames_written + 1)
+        mask_blurred=mask_blurred,
+        write_slot=jnp.int32(self._next_write_slot()))
+    self._count_frames()
 
   # -- forward --------------------------------------------------------------
 
@@ -577,7 +646,7 @@ class SE3DSModel:
                 'proj_mask')
 
   def _step_forward(self, variables, memory: MemoryState, prev_rgb_frame,
-                    position, num_frames: int,
+                    position, write_slot, num_frames: int,
                     use_projected_rgb: bool = False):
     """One feedback frame — splat -> generate -> unproject -> memory
     write — in ONE traced program. The per-frame sibling of
@@ -594,7 +663,8 @@ class SE3DSModel:
     new_memory = memory_add_pano(
         memory, out['pc_rgb'], out['pred_semantic'][..., None],
         out['pred_depth'], position, depth_scale=self.depth_scale,
-        mask_blurred=True, pole_compact=self.config.pole_compact)
+        mask_blurred=True, pole_compact=self.config.pole_compact,
+        write_slot=write_slot)
     new_prev = out['generated_rgb']
     lean = {k: out[k] for k in self._LEAN_KEYS}
     if use_projected_rgb:
@@ -610,10 +680,13 @@ class SE3DSModel:
     return lean, new_memory, new_prev
 
   def _trajectory_forward(self, variables, memory: MemoryState,
-                          prev_rgb_frame, positions, start_frames: int):
+                          prev_rgb_frame, positions, start_slot,
+                          start_frames: int):
     """T autoregressive frames in ONE traced program (see
-    predict_trajectory)."""
+    predict_trajectory). `start_slot` is traced (ring wrap positions add
+    no compile variants); `start_frames` is static (live extents)."""
     num_frames = positions.shape[0]
+    cap = self.config.memory_frames
     per_frame = []
     for t in range(num_frames):
       # Exact live extents (no power-of-two bucketing): the whole
@@ -621,7 +694,8 @@ class SE3DSModel:
       # cost to amortise — each frame splats exactly the frames written.
       lean, memory, prev_rgb_frame = self._step_forward(
           variables, memory, prev_rgb_frame, positions[t],
-          num_frames=max(1, start_frames + t))
+          write_slot=(start_slot + t) % cap,
+          num_frames=max(1, min(start_frames + t, cap)))
       per_frame.append(lean)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
     return stacked, memory, prev_rgb_frame
@@ -659,17 +733,20 @@ class SE3DSModel:
     if num_frames < 1:
       raise ValueError('positions must contain at least one frame.')
     assert self.prev_rgb_frame is not None
-    if self._frames_written + num_frames > self.config.memory_frames:
+    if (not self._ring
+        and self._frames_written + num_frames > self.config.memory_frames):
       raise ValueError(
           f'Trajectory of {num_frames} frames would exceed memory capacity '
           f'({self._frames_written} written, {self.config.memory_frames} '
-          'total). Increase SE3DSConfig.memory_frames or reset_memory().')
+          'total). Increase SE3DSConfig.memory_frames, reset_memory(), or '
+          "use memory_mode='ring' for unbounded streaming.")
     out, new_memory, new_prev = self._jit_trajectory(
         self.variables, self._memory, self.prev_rgb_frame, positions,
+        jnp.int32(self._next_write_slot()),
         start_frames=self._frames_written)
     self._memory = new_memory
     self.prev_rgb_frame = new_prev
-    self._frames_written += num_frames
+    self._count_frames(num_frames)
     return self._to_output_data(out)
 
   def _poses_forward(self, variables, memory: MemoryState, prev_rgb_frame,
@@ -753,11 +830,11 @@ class SE3DSModel:
       self._check_memory_capacity()
       out, new_memory, new_prev = self._jit_step(
           self.variables, self._memory, self.prev_rgb_frame, position,
+          jnp.int32(self._next_write_slot()),
           num_frames=num_frames, use_projected_rgb=use_projected_rgb)
       self._memory = new_memory
       self.prev_rgb_frame = new_prev
-      self._frames_written = min(self.config.memory_frames,
-                                 self._frames_written + 1)
+      self._count_frames()
       return self._to_output_data(out)
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
                          position, num_frames=num_frames, feed=False)

@@ -66,6 +66,28 @@ class SE3DSConfig:
   # proj_semantic/pred_semantic then come back all-zero while every
   # other output is bit-identical.
   project_semantics: bool = True
+  # Donate the model-owned memory buffers (and the previous-frame
+  # feedback) to the mutating programs (`add_to_memory`,
+  # `add_preds_to_memory=True`, `predict_trajectory`): XLA aliases the
+  # donated input with the returned state, making the per-frame
+  # dynamic_update_slice writes in place instead of copying the
+  # full-capacity buffers (~170 MB at 8-frame 1024x512 capacity) every
+  # call. `get_memory_state()`/`set_memory_state()` copy at the API
+  # boundary, so client-held states stay valid either way; set False
+  # only if client code holds `get_memory_state(copy=False)` views
+  # across mutating calls.
+  donate_memory: bool = True
+  # Behaviour when a memory write would exceed `memory_frames` capacity:
+  #   'strict' (default) raise from the host API before dispatch — the
+  #            documented fixed-capacity contract (the reference instead
+  #            grows its memory unboundedly until OOM, models.py:239-245).
+  #   'ring'   overwrite the OLDEST frame's slots (sliding window over
+  #            the last `memory_frames` observations) — unbounded
+  #            streaming trajectories at constant HBM. Below capacity the
+  #            two modes are bit-identical; after a wrap the memory holds
+  #            exactly the most recent `memory_frames` frames
+  #            (tests/test_inference.py::test_ring_memory_*).
+  memory_mode: str = 'strict'
 
 
 def get_config() -> SE3DSConfig:

@@ -562,3 +562,127 @@ def test_mesh_sharded_model_matches_single_device():
   assert np.max(np.abs(
       np.asarray(single.pred_rgb, np.int32)
       - np.asarray(sharded.pred_rgb, np.int32))) <= 1
+
+
+def test_memory_state_survives_donation(model):
+  """The mutating paths DONATE the model's buffers (in-place memory
+  writes); `get_memory_state` must return a state that stays valid and
+  bit-identical across later mutations, and `set_memory_state` must not
+  adopt (and thereby invalidate) the caller's arrays."""
+  model.reset_memory()
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h, seed=11)
+  pos = np.zeros((1, 3), np.float32)
+  target = np.array([[0.2, 0.1, 0.0]], np.float32)
+
+  model.add_to_memory(rgb, sem, depth, pos)
+  snap = model.get_memory_state()
+  snap_rgb = np.asarray(snap.rgb)
+  out_a = model(target, add_preds_to_memory=True)  # donates internals
+
+  # The snapshot is still readable and unchanged by the mutation.
+  np.testing.assert_array_equal(np.asarray(snap.rgb), snap_rgb)
+  assert int(snap.cursor) == h * h * 2
+
+  # Restoring the snapshot reproduces the mutated step bit-for-bit, and
+  # the caller's snapshot survives ANOTHER donation round after being
+  # handed to set_memory_state.
+  model.reset_memory()
+  model.add_to_memory(rgb, sem, depth, pos)  # rebuild prev_rgb_frame
+  model.set_memory_state(snap)
+  out_b = model(target, add_preds_to_memory=True)
+  np.testing.assert_array_equal(np.asarray(out_a.pred_rgb),
+                                np.asarray(out_b.pred_rgb))
+  np.testing.assert_array_equal(np.asarray(snap.rgb), snap_rgb)
+
+
+def _ring_config(**kw):
+  import dataclasses
+  return dataclasses.replace(model_config.get_test_config(),
+                             memory_mode='ring', **kw)
+
+
+def test_ring_below_capacity_matches_strict(model):
+  """Until the first wrap, ring mode is bit-identical to strict."""
+  model.reset_memory()
+  # Same deterministic PRNGKey(0) init as the fixture -> identical
+  # weights (folded variables are not portable across models).
+  ring = inference.SE3DSModel(_ring_config())
+  h = model.height
+  rgb, sem, depth = _synthetic_pano(h, seed=21)
+  pos = np.zeros((1, 3), np.float32)
+  targets = [np.array([[0.2, 0.0, 0.0]], np.float32),
+             np.array([[0.3, 0.1, 0.0]], np.float32)]
+  outs = {}
+  for name, m in (('strict', model), ('ring', ring)):
+    m.reset_memory()
+    m.add_to_memory(rgb, sem, depth, pos)
+    outs[name] = [m(t, add_preds_to_memory=True) for t in targets]
+  for a, b in zip(outs['strict'], outs['ring']):
+    np.testing.assert_array_equal(np.asarray(a.pred_rgb),
+                                  np.asarray(b.pred_rgb))
+    np.testing.assert_array_equal(np.asarray(a.pred_depth),
+                                  np.asarray(b.pred_depth))
+
+
+def test_ring_wrap_holds_last_k_frames():
+  """Past capacity, ring writes overwrite the OLDEST frame's slots: the
+  memory is a sliding window over the last `memory_frames` observations
+  (strict mode raises instead, test_memory_overflow_raises)."""
+  cfg = _ring_config(memory_frames=2)
+  m = inference.SE3DSModel(cfg)
+  h, w = m.height, m.width
+  frame_pts = h * w
+  depth = np.full((1, h, w), 0.5, np.float32)
+  sem = np.ones((1, h, w, 1), np.int32)
+  pos = np.zeros((1, 3), np.float32)
+
+  for value in (10, 20, 30):  # 3 frames into a 2-frame ring
+    rgb = np.full((1, h, w, 3), value, np.int32)
+    m.add_to_memory(rgb, sem, depth, pos, mask_blurred=False)
+
+  mem = m.get_memory_state()
+  rgb_buf = np.asarray(mem.rgb)
+  # Slot 0 was overwritten by frame 3; slot 1 still holds frame 2.
+  assert set(np.unique(rgb_buf[0, :frame_pts])) == {30.0}
+  assert set(np.unique(rgb_buf[0, frame_pts:2 * frame_pts])) == {20.0}
+  assert int(mem.cursor) == m.capacity  # both slots valid
+  assert m._frames_written == 2 and m._total_frames == 3
+
+  # A 4th frame lands on slot 1 (the now-oldest frame 2).
+  m.add_to_memory(np.full((1, h, w, 3), 40, np.int32), sem, depth, pos,
+                  mask_blurred=False)
+  rgb_buf = np.asarray(m.get_memory_state().rgb)
+  assert set(np.unique(rgb_buf[0, :frame_pts])) == {30.0}
+  assert set(np.unique(rgb_buf[0, frame_pts:2 * frame_pts])) == {40.0}
+
+
+def test_ring_trajectory_matches_per_frame_across_wrap():
+  """The fused trajectory and the per-frame feedback loop stay bitwise
+  identical when the ring wraps mid-trajectory (traced write slots vs
+  per-call host slots)."""
+  cfg = _ring_config()  # memory_frames=3
+  base = inference.SE3DSModel(cfg)
+  h = base.height
+  rgb, sem, depth = _synthetic_pano(h, seed=22)
+  pos = np.zeros((1, 3), np.float32)
+  targets = np.array([[0.2, 0.0, 0.0], [0.1, 0.2, 0.0], [0.3, 0.1, 0.0],
+                      [0.0, 0.3, 0.0]], np.float32)  # 1 GT + 4 > capacity 3
+
+  base.add_to_memory(rgb, sem, depth, pos)
+  ref_outs = [base(t[None], add_preds_to_memory=True) for t in targets]
+  assert base._total_frames == 5 and base._frames_written == 3
+
+  fused = inference.SE3DSModel(cfg)  # same PRNGKey(0) init
+  fused.add_to_memory(rgb, sem, depth, pos)
+  traj = fused.predict_trajectory(targets)
+  assert fused._total_frames == 5 and fused._frames_written == 3
+
+  for t, ref in enumerate(ref_outs):
+    np.testing.assert_array_equal(np.asarray(traj.pred_rgb[t]),
+                                  np.asarray(ref.pred_rgb), err_msg=f't={t}')
+    np.testing.assert_array_equal(np.asarray(traj.pred_depth[t]),
+                                  np.asarray(ref.pred_depth))
+  np.testing.assert_array_equal(
+      np.asarray(fused.get_memory_state().rgb),
+      np.asarray(base.get_memory_state().rgb))
