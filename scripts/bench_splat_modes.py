@@ -65,14 +65,25 @@ def main():
           c, f, H, W, DEPTH_SCALE, -1.0)),
       'pallas': jax.jit(lambda c, f: splat_pallas.project_to_feat_pallas(
           c, f, H, W, DEPTH_SCALE, -1.0)),
+      'sorted': jax.jit(lambda c, f: splat.project_to_feat_sorted(
+          c, f, H, W, DEPTH_SCALE, -1.0)),
+      'pallas_exact': jax.jit(
+          lambda c, f: splat_pallas.project_to_feat_pallas_exact(
+              c, f, H, W, DEPTH_SCALE, -1.0)),
   }
 
-  # On-device equivalence: pallas must be bit-identical to fast.
+  # On-device equivalence: pallas must be bit-identical to fast, and
+  # pallas_exact to the exact scatter mode.
   df, ff = modes['fast'](coords, feats)
   dp, fp = modes['pallas'](coords, feats)
   assert np.array_equal(np.asarray(df), np.asarray(dp)), 'depth mismatch'
   assert np.array_equal(np.asarray(ff), np.asarray(fp)), 'feat mismatch'
   print(f'# pallas == fast bit-identical on device at {num_points} points')
+  ds, fs = modes['scatter'](coords, feats)
+  de, fe = modes['pallas_exact'](coords, feats)
+  assert np.array_equal(np.asarray(ds), np.asarray(de)), 'exact depth mismatch'
+  assert np.array_equal(np.asarray(fs), np.asarray(fe)), 'exact feat mismatch'
+  print('# pallas_exact == scatter bit-identical on device')
 
   results = {}
   for name, fn in modes.items():

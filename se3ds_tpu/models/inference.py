@@ -297,18 +297,23 @@ class SE3DSModel:
       has no distributed inference at all (models.py:239-245 is a
       single-device concat).
     """
-    if config.splat_mode == 'pallas' and mesh is None:
+    if config.splat_mode in ('pallas', 'pallas_exact') and mesh is None:
       # Warm the Mosaic probe EAGERLY (it cannot run inside a jit trace;
-      # unwarmed, every traced program would silently degrade to 'fast').
+      # unwarmed, every traced program would silently degrade).
       from se3ds_tpu.ops import splat_pallas  # lazy import
-      splat_pallas.pallas_available()
-    if mesh is not None and config.splat_mode == 'pallas':
-      # 'pallas' is always safe to request (it auto-degrades wherever
-      # the Mosaic kernel is unavailable, ops/geometry.py); its sharded
-      # degradation target is 'fast', the mode whose semantics it
-      # reproduces bit-for-bit.
+      if config.splat_mode == 'pallas':
+        splat_pallas.pallas_available()
+      else:
+        splat_pallas.pallas_exact_available()
+    if mesh is not None and config.splat_mode in ('pallas', 'pallas_exact'):
+      # The pallas modes are always safe to request (they auto-degrade
+      # wherever the Mosaic kernel is unavailable, ops/geometry.py);
+      # each sharded degradation target is the mode whose semantics the
+      # kernel reproduces bit-for-bit ('fast' / exact 'scatter').
       import dataclasses  # lazy
-      config = dataclasses.replace(config, splat_mode='fast')
+      config = dataclasses.replace(
+          config,
+          splat_mode='fast' if config.splat_mode == 'pallas' else 'scatter')
     if mesh is not None and config.splat_mode not in (
         'fast', 'fast_exact', 'scatter'):
       raise ValueError(

@@ -42,6 +42,8 @@ class SE3DSConfig:
   #   'fast_exact' exact 0.1 m window + packed tie-break, 23.4 ms —
   #                bit-identical to 'scatter' at single-point windows.
   #   'pallas'     Mosaic kernel with 'fast' semantics (auto-degrades).
+  #   'pallas_exact' Mosaic kernel bit-identical to 'scatter' (exact
+  #                window + per-channel max); degrades to 'scatter'.
   splat_mode: str = 'fast'
   # Fold spectral norms into kernels once at load (bitwise-equal at eval,
   # models/folding.py) instead of re-normalising every weight per forward.

@@ -82,7 +82,8 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
   return jnp.stack([xs, ys, zs], axis=0).reshape(3, -1)
 
 
-SPLAT_MODES = ('scatter', 'sorted', 'fast', 'fast_exact', 'pallas')
+SPLAT_MODES = ('scatter', 'sorted', 'fast', 'fast_exact', 'pallas',
+               'pallas_exact')
 
 
 def equirect_view_coords(xyz1: jnp.ndarray) -> jnp.ndarray:
@@ -139,8 +140,11 @@ def project_feats_to_equirectangular(
     use_sorted_splat: Legacy alias for splat_mode='sorted'.
     splat_mode: 'scatter' (exact, default), 'sorted' (exact, sort-based),
       'fast' (packed single-scatter; byte-quantised winner selection,
-      see splat.project_to_feat_fast), or 'fast_exact' (exact 0.1 m
-      window + packed tie-break, splat.project_to_feat_fast_exact).
+      see splat.project_to_feat_fast), 'fast_exact' (exact 0.1 m
+      window + packed tie-break, splat.project_to_feat_fast_exact),
+      'pallas' (Mosaic kernel, 'fast' semantics, auto-degrades), or
+      'pallas_exact' (Mosaic kernel, bit-identical to 'scatter';
+      degrades to 'scatter').
 
   Returns:
     reprojected_depth: (N, H, W) depth in [0, 1].
@@ -159,6 +163,14 @@ def project_feats_to_equirectangular(
       splat_fn = splat_pallas.project_to_feat_pallas
     else:
       splat_fn = splat.project_to_feat_fast
+  elif splat_mode == 'pallas_exact':
+    # Exact-semantics kernel; its degrade target is 'scatter', the exact
+    # mode it reproduces bit-for-bit.
+    from se3ds_tpu.ops import splat_pallas
+    if splat_pallas.pallas_exact_available():
+      splat_fn = splat_pallas.project_to_feat_pallas_exact
+    else:
+      splat_fn = splat.project_to_feat
   else:
     splat_fn = {
         'scatter': splat.project_to_feat,

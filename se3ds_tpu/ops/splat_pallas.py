@@ -34,6 +34,16 @@ Semantics match `splat.project_to_feat_fast`: exact f32 min-depth buffer
 plus a packed (inverted depth bucket | feature bytes) uint32 winner per
 pixel (reference semantics: point_cloud_utils.py:90-183).
 
+A second kernel, `project_to_feat_pallas_exact` (round 3), carries the
+EXACT reference semantics instead — exact 0.1 m collision window on the
+raw depth + per-channel f32 feature max, bit-identical to the 'scatter'
+and 'sorted' modes. It rides a 2-key (pixel, clipped-depth) sort: within
+each pixel run the minimum depth arrives FIRST, so the z-buffer entry is
+final by the time any point of that pixel is folded in, and the window +
+per-channel max resolve in the same single pass — replacing the 'sorted'
+mode's associative scans (the dominant cost of the exact XLA paths; see
+PERF.md sort-cost matrix).
+
 This is the v2 formulation: v1 (round 2) used `pltpu.make_async_copy`
 with per-tile variable-length point ranges and a sublane-flattening
 epilogue, both of which crashed the axon remote Mosaic service
@@ -162,7 +172,233 @@ def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
           pbuf.reshape(batch, num_pixels))
 
 
-_PALLAS_OK = None  # manual cache: a trace-time deferral must NOT stick
+def _exact_splat_kernel(flat_ref, cdepth_ref, rdepth_ref, packed_ref,
+                        zbuf_ref, *fbuf_refs,
+                        depth_scale: float, num_rows: int, channels: int,
+                        output_void_class: float):
+  """Exact-window segmented reduction over (pixel, depth)-sorted points.
+
+  Reference semantics (point_cloud_utils.py:157-176) in ONE streaming
+  pass: points arrive grouped by pixel and depth-ascending within each
+  group (the 2-key sort), so by the time ANY point of a pixel is folded
+  in, the pixel's z-buffer entry already holds its FINAL minimum depth —
+  the 0.1 m collision window (DEPTH_COLLISION_TOLERANCE) and the
+  per-channel feature max can therefore be resolved in the same pass,
+  with no second visit and no associative scans. Accumulators are
+  VMEM-resident across the sequential grid, which also carries pixel
+  runs straddling chunk boundaries.
+  """
+  from se3ds_tpu.ops import splat as splat_lib
+  i = pl.program_id(1)
+
+  @pl.when(i == 0)
+  def _init():
+    zbuf_ref[...] = jnp.full_like(zbuf_ref, depth_scale)
+    for fb in fbuf_refs:
+      fb[...] = jnp.full_like(fb, output_void_class)
+
+  flat = flat_ref[0, :, :]  # (CHUNK, 1)
+  rows_pt = flat // _LANES
+  cols_pt = flat % _LANES
+  lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _LANES), 1)
+  col_eq = cols_pt == lane  # (CHUNK, 128), loop-invariant
+
+  zsel = jnp.where(col_eq, cdepth_ref[0, :, :],
+                   jnp.asarray(depth_scale, jnp.float32))
+  rdepth = rdepth_ref[0, :, :]  # (CHUNK, 1) raw depth (window check)
+  packed = packed_ref[0, :, :]
+  feat_pt = [((packed >> (8 * (channels - 1 - c))) & 0xFF).astype(jnp.float32)
+             for c in range(channels)]  # each (CHUNK, 1)
+  neg = jnp.float32(-3.4e38)  # identity below any byte/void value
+
+  row_first = flat_ref[0, 0, 0] // _LANES
+  row_last = jnp.max(jnp.where(flat < num_rows * _LANES, rows_pt, -1))
+  tol = jnp.float32(splat_lib.DEPTH_COLLISION_TOLERANCE)
+
+  def body(r, _):
+    rmask = rows_pt == r  # (CHUNK, 1)
+    zc = jnp.min(
+        jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
+        axis=0, keepdims=True)  # (1, 128)
+    newz = jnp.minimum(zbuf_ref[0, pl.ds(r, 1), :], zc)
+    zbuf_ref[0, pl.ds(r, 1), :] = newz
+    # newz IS the final per-pixel minimum for every pixel this chunk
+    # touches in row r (sorted order: the min point came first), so the
+    # reference window test `raw depth < min + 0.1` is exact here.
+    win = col_eq & rmask & (rdepth < newz + tol)  # (CHUNK, 128)
+    for c in range(channels):
+      fc = jnp.max(jnp.where(win, feat_pt[c], neg), axis=0, keepdims=True)
+      fbuf_refs[c][0, pl.ds(r, 1), :] = jnp.maximum(
+          fbuf_refs[c][0, pl.ds(r, 1), :], fc)
+    return 0
+
+  jax.lax.fori_loop(row_first, jnp.minimum(row_last + 1, num_rows), body, 0,
+                    unroll=False)
+
+
+def _exact_splat_sorted_points(sflat, scdepth, srdepth, spacked,
+                               num_pixels: int, depth_scale: float,
+                               channels: int, output_void_class: float,
+                               interpret: bool = False):
+  """Runs the exact-window kernel over pre-sorted, padded point arrays."""
+  batch, num_padded = sflat.shape
+  assert num_padded % CHUNK == 0, (num_padded, CHUNK)
+  assert num_pixels % _LANES == 0, num_pixels
+  num_rows = num_pixels // _LANES
+  num_chunks = num_padded // CHUNK
+
+  grid = (batch, num_chunks)
+  point_spec = lambda: pl.BlockSpec((1, CHUNK, 1), lambda b, i: (b, i, 0),
+                                    memory_space=pltpu.VMEM)
+  acc_spec = lambda: pl.BlockSpec((1, num_rows, _LANES), lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+  acc_shape = lambda: jax.ShapeDtypeStruct((batch, num_rows, _LANES),
+                                           jnp.float32)
+  out = pl.pallas_call(
+      functools.partial(_exact_splat_kernel, depth_scale=depth_scale,
+                        num_rows=num_rows, channels=channels,
+                        output_void_class=output_void_class),
+      grid=grid,
+      in_specs=[point_spec() for _ in range(4)],
+      out_specs=[acc_spec() for _ in range(1 + channels)],
+      out_shape=[acc_shape() for _ in range(1 + channels)],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary', 'arbitrary')),
+      interpret=interpret,
+  )(sflat[:, :, None], scdepth[:, :, None], srdepth[:, :, None],
+    spacked[:, :, None])
+  zbuf = out[0].reshape(batch, num_pixels)
+  fbuf = jnp.stack([f.reshape(batch, num_pixels) for f in out[1:]], axis=-1)
+  return zbuf, fbuf
+
+
+def project_to_feat_pallas_exact(
+    transformed_coords: jnp.ndarray,
+    feats: jnp.ndarray,
+    height: int,
+    width: int,
+    depth_scale: float,
+    input_void_class: float,
+    output_void_class: float = 0.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Streaming-Pallas splat with EXACT `project_to_feat` semantics.
+
+  Bit-identical to the exact 'scatter'/'sorted' modes (reference
+  point_cloud_utils.py:90-183): exact f32 min-depth buffer, exact 0.1 m
+  collision window on the raw depth, per-channel f32 feature max — but
+  resolved with one 2-key `lax.sort` (~5 ms at 1M points, PERF.md
+  sort-cost matrix) plus one linear streaming pass, instead of the
+  'sorted' mode's associative scans (~53 ms) or the 'scatter' mode's
+  serialised scatters (~36 ms).
+
+  Requires integer feature values in [0, 255] (true for RGB and
+  semantic classes — the same contract as 'fast'/'pallas'), <=3
+  channels, width a multiple of 128, and accumulators that fit VMEM;
+  anything else falls back to the exact scatter path, preserving
+  semantics.
+  """
+  from se3ds_tpu.ops import splat as splat_lib
+
+  if feats.ndim not in (2, 3):
+    raise ValueError(
+        f'feats should have shape (N, M) or (N, M, C), got {feats.shape}')
+  is_scalar_feat = feats.ndim == 2
+  if is_scalar_feat:
+    feats = feats[..., None]
+  channels = feats.shape[-1]
+  num_pixels = height * width
+  # VMEM budget: (1 + channels) f32 accumulators resident.
+  if (channels > 3 or num_pixels % _LANES != 0
+      or num_pixels * (1 + channels) > 4 * _MAX_VMEM_PIXELS // 2
+      or transformed_coords.shape[-1] == 0):
+    out = splat_lib.project_to_feat(
+        transformed_coords, feats, height, width, depth_scale,
+        input_void_class, output_void_class)
+    return out[0], (out[1][..., 0] if is_scalar_feat else out[1])
+  dtype = transformed_coords.dtype
+  feats = feats.astype(dtype)
+  batch_size, _, num_points = transformed_coords.shape
+
+  flat, depth, valid = splat_lib.pixel_coords(
+      transformed_coords, feats, height, width, input_void_class)
+
+  fbytes = jnp.clip(feats, 0.0, 255.0).astype(jnp.uint32)
+  packed = jnp.zeros_like(flat, dtype=jnp.uint32)
+  for c in range(channels):
+    packed = packed | (fbytes[..., c] << (8 * (channels - 1 - c)))
+  # <= 24 feature bits: positive as int32, no sign flip needed.
+  packed_i = packed.astype(jnp.int32)
+  clipped = jnp.minimum(depth, depth_scale).astype(jnp.float32)
+  # Invalid points carry the sentinel pixel index and sort to the end;
+  # give padding a raw depth past any window so a boundary chunk's
+  # masked reductions stay inert even before the row-walk cutoff.
+  far = jnp.float32(depth_scale + 1.0)
+
+  pad = (-num_points) % CHUNK
+
+  def one_batch(flat_b, cdepth_b, rdepth_b, packed_b):
+    flat_p = jnp.concatenate(
+        [flat_b, jnp.full((pad,), num_pixels, jnp.int32)])
+    cdepth_p = jnp.concatenate(
+        [cdepth_b, jnp.full((pad,), depth_scale, jnp.float32)])
+    rdepth_p = jnp.concatenate([rdepth_b, jnp.full((pad,), far, jnp.float32)])
+    packed_p = jnp.concatenate([packed_b, jnp.zeros((pad,), jnp.int32)])
+    return jax.lax.sort([flat_p, cdepth_p, rdepth_p, packed_p], num_keys=2)
+
+  sflat, scd, srd, spk = jax.vmap(one_batch)(
+      flat, clipped, depth.astype(jnp.float32), packed_i)
+  zbuf, fbuf = _exact_splat_sorted_points(
+      sflat, scd, srd, spk, num_pixels, depth_scale, channels,
+      float(output_void_class), interpret=interpret)
+  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
+                     ).reshape(batch_size, height, width)
+  projected_feat = fbuf.astype(dtype).reshape(
+      batch_size, height, width, channels)
+  if is_scalar_feat:
+    projected_feat = projected_feat[..., 0]
+  return projected_depth, projected_feat
+
+
+# Manual per-kernel caches: a trace-time deferral must NOT stick.
+_PALLAS_OK = {'pallas': None, 'pallas_exact': None}
+
+
+def _probe(mode: str, fn, degrade_to: str) -> bool:
+  """Shared once-per-process Mosaic probe (see pallas_available)."""
+  if _PALLAS_OK[mode] is not None:
+    return _PALLAS_OK[mode]
+  import logging
+  import numpy as np
+  log = logging.getLogger('se3ds_tpu')
+  try:
+    from jax._src import core as _core  # no public trace-state API
+    trace_clean = _core.trace_state_clean()
+  except Exception:  # API drift: assume clean and let the probe decide
+    trace_clean = True
+  if not trace_clean:
+    log.warning(
+        "Pallas splat probe skipped: first called during jit tracing, "
+        "where it cannot compile+fetch. Degrading THIS program to %r"
+        " (not cached); call the *_available() probe eagerly once to "
+        'enable the kernel (SE3DSModel.__init__ does).', degrade_to)
+    return False
+  try:
+    coords = jnp.stack([
+        jnp.linspace(-0.5, 0.5, CHUNK), jnp.linspace(-0.5, 0.5, CHUNK),
+        jnp.full((CHUNK,), 2.0), jnp.ones((CHUNK,))])[None]
+    feats = jnp.ones((1, CHUNK, 3))
+    zbuf, _ = fn(coords, feats, 8, _LANES,
+                 depth_scale=20.0, input_void_class=-1.0)
+    np.asarray(zbuf)  # host fetch forces the real (relay) compile
+    _PALLAS_OK[mode] = True
+  except Exception as e:  # MosaicError/XlaRuntimeError shapes vary by build
+    log.warning(
+        'Pallas splat kernel unavailable on this toolchain (%s: %s); '
+        'splat_mode=%r degrades to %r.',
+        type(e).__name__, str(e)[:200], mode, degrade_to)
+    _PALLAS_OK[mode] = False
+  return _PALLAS_OK[mode]
 
 
 def pallas_available() -> bool:
@@ -181,40 +417,12 @@ def pallas_available() -> bool:
   get the kernel: probe eagerly first — SE3DSModel.__init__ does this
   automatically for splat_mode='pallas'.
   """
-  global _PALLAS_OK
-  if _PALLAS_OK is not None:
-    return _PALLAS_OK
-  import logging
-  import numpy as np
-  log = logging.getLogger('se3ds_tpu')
-  try:
-    from jax._src import core as _core  # no public trace-state API
-    trace_clean = _core.trace_state_clean()
-  except Exception:  # API drift: assume clean and let the probe decide
-    trace_clean = True
-  if not trace_clean:
-    log.warning(
-        "Pallas splat probe skipped: first called during jit tracing, "
-        "where it cannot compile+fetch. Degrading THIS program to 'fast'"
-        " (not cached); call pallas_available() eagerly once to enable "
-        "the kernel (SE3DSModel.__init__ does).")
-    return False
-  try:
-    coords = jnp.stack([
-        jnp.linspace(-0.5, 0.5, CHUNK), jnp.linspace(-0.5, 0.5, CHUNK),
-        jnp.full((CHUNK,), 2.0), jnp.ones((CHUNK,))])[None]
-    feats = jnp.ones((1, CHUNK, 3))
-    zbuf, _ = project_to_feat_pallas(coords, feats, 8, _LANES,
-                                     depth_scale=20.0, input_void_class=-1.0)
-    np.asarray(zbuf)  # host fetch forces the real (relay) compile
-    _PALLAS_OK = True
-  except Exception as e:  # MosaicError/XlaRuntimeError shapes vary by build
-    log.warning(
-        'Pallas splat kernel unavailable on this toolchain (%s: %s); '
-        "splat_mode='pallas' degrades to 'fast'.",
-        type(e).__name__, str(e)[:200])
-    _PALLAS_OK = False
-  return _PALLAS_OK
+  return _probe('pallas', project_to_feat_pallas, 'fast')
+
+
+def pallas_exact_available() -> bool:
+  """Probe for the exact-window kernel; degrades to 'scatter' (exact)."""
+  return _probe('pallas_exact', project_to_feat_pallas_exact, 'scatter')
 
 
 def project_to_feat_pallas(

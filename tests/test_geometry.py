@@ -235,6 +235,77 @@ def test_pallas_splat_empty_cloud():
   np.testing.assert_array_equal(np.asarray(pf), np.full((1, 32, 64, 3), -1.0))
 
 
+def test_pallas_exact_splat_interpret_matches_scatter():
+  """The exact-window Pallas kernel (interpreter mode) is bit-identical
+  to the exact 'scatter' mode on a dense collision-heavy cloud (~2
+  points/pixel, depth_scale low enough to exercise clipping)."""
+  from se3ds_tpu.ops import splat_pallas
+  rng = np.random.RandomState(13)
+  coords = rng.uniform(-6, 6, (2, 4, 4000)).astype(np.float32)
+  coords[:, 3] = 1.0
+  feats = rng.randint(-1, 256, (2, 4000, 3)).astype(np.float32)
+  pd1, pf1 = splat.project_to_feat(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=5.0, input_void_class=-1.0)
+  pd2, pf2 = splat_pallas.project_to_feat_pallas_exact(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=5.0, input_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+
+def test_pallas_exact_splat_per_channel_max_window():
+  """Collision window resolves with the reference's PER-CHANNEL max
+  (channel-mixing), not a lexicographic tie-break: two in-window points
+  with features (10, 200, 7) and (200, 10, 7) must yield (200, 200, 7);
+  a point 0.2 m deeper stays outside the 0.1 m window."""
+  from se3ds_tpu.ops import splat_pallas
+  H, W = 8, 16
+  px, py = 5, 3
+  depths = np.array([2.0, 2.05, 2.2], np.float32)
+  x = ((px + 0.5) / W * 2 - 1) * depths
+  y = ((py + 0.5) / H * 2 - 1) * depths
+  coords = np.stack([x, y, depths, np.ones_like(depths)], 0)[None]
+  feats = np.array([[10, 200, 7], [200, 10, 7], [255, 255, 255]],
+                   np.float32)[None]
+  pd, pf = splat_pallas.project_to_feat_pallas_exact(
+      jnp.asarray(coords), jnp.asarray(feats), H, W,
+      depth_scale=20.0, input_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pf[0, py, px]), [200, 200, 7])
+  np.testing.assert_allclose(np.asarray(pd[0, py, px]), 2.0 / 20.0,
+                             atol=1e-6)
+  pd1, pf1 = splat.project_to_feat(
+      jnp.asarray(coords), jnp.asarray(feats), H, W,
+      depth_scale=20.0, input_void_class=-1.0)
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf))
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd))
+
+
+def test_pallas_exact_splat_scalar_feats_and_empty():
+  """Scalar (semantic) feature path + the empty-cloud fallback."""
+  from se3ds_tpu.ops import splat_pallas
+  rng = np.random.RandomState(5)
+  coords = rng.uniform(-4, 4, (1, 4, 2000)).astype(np.float32)
+  coords[:, 3] = 1.0
+  feats = rng.randint(0, 42, (1, 2000)).astype(np.float32)
+  pd1, pf1 = splat.project_to_feat(
+      jnp.asarray(coords), jnp.asarray(feats), 16, 32,
+      depth_scale=10.0, input_void_class=0.0)
+  pd2, pf2 = splat_pallas.project_to_feat_pallas_exact(
+      jnp.asarray(coords), jnp.asarray(feats), 16, 32,
+      depth_scale=10.0, input_void_class=0.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+  empty_c = jnp.zeros((1, 4, 0), jnp.float32)
+  empty_f = jnp.zeros((1, 0, 3), jnp.float32)
+  pd, pf = splat_pallas.project_to_feat_pallas_exact(
+      empty_c, empty_f, 32, 64, depth_scale=20.0, input_void_class=-1.0,
+      output_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd), np.ones((1, 32, 64)))
+  np.testing.assert_array_equal(np.asarray(pf), np.full((1, 32, 64, 3), -1.0))
+
+
 def test_pinhole_intrinsics_analytic():
   """hfov=90deg -> focal 1/tan(45deg)=1 -> identity-scaled intrinsics
   (reference point_cloud_utils.py:23-29)."""

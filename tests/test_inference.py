@@ -520,6 +520,9 @@ def test_mesh_degrades_pallas_to_fast():
   m = inference.SE3DSModel(
       dataclasses.replace(base, splat_mode='pallas'), mesh=mesh8)
   assert m.config.splat_mode == 'fast'
+  m_exact = inference.SE3DSModel(
+      dataclasses.replace(base, splat_mode='pallas_exact'), mesh=mesh8)
+  assert m_exact.config.splat_mode == 'scatter'
   with pytest.raises(ValueError, match='no sharded path'):
     inference.SE3DSModel(
         dataclasses.replace(base, splat_mode='sorted'), mesh=mesh8)
