@@ -459,8 +459,15 @@ def main():
   t0 = time.perf_counter()
   for _ in range(iters):
     out = model(target)
+  enqueue_elapsed = time.perf_counter() - t0  # host dispatch only
   _ = np.asarray(out.pred_rgb[0, 0, :4])
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  if os.environ.get('SE3DS_BENCH_ENQUEUE', '0') == '1':
+    # Host-side enqueue cost per call (dispatch/serialisation through the
+    # relay). If this approaches the total, the loop is host-bound and
+    # device-side optimisation cannot move the headline.
+    print(f'# enqueue {enqueue_elapsed / iters * 1e3:.2f} ms/call vs total '
+          f'{elapsed / iters * 1e3:.2f} ms/call', file=sys.stderr)
 
   panos_per_sec = iters * batch / elapsed
   batch_tag = f', batch {batch}' if batch > 1 else ''

@@ -67,6 +67,9 @@ def main():
           c, f, H, W, DEPTH_SCALE, -1.0)),
       'sorted': jax.jit(lambda c, f: splat.project_to_feat_sorted(
           c, f, H, W, DEPTH_SCALE, -1.0)),
+      'sorted_packed': jax.jit(
+          lambda c, f: splat.project_to_feat_sorted_packed(
+              c, f, H, W, DEPTH_SCALE, -1.0)),
       'pallas_exact': jax.jit(
           lambda c, f: splat_pallas.project_to_feat_pallas_exact(
               c, f, H, W, DEPTH_SCALE, -1.0)),
@@ -84,6 +87,11 @@ def main():
   assert np.array_equal(np.asarray(ds), np.asarray(de)), 'exact depth mismatch'
   assert np.array_equal(np.asarray(fs), np.asarray(fe)), 'exact feat mismatch'
   print('# pallas_exact == scatter bit-identical on device')
+  for exact_mode in ('sorted', 'sorted_packed'):
+    dm, fm = modes[exact_mode](coords, feats)
+    assert np.array_equal(np.asarray(ds), np.asarray(dm)), exact_mode
+    assert np.array_equal(np.asarray(fs), np.asarray(fm)), exact_mode
+    print(f'# {exact_mode} == scatter bit-identical on device')
 
   results = {}
   for name, fn in modes.items():

@@ -33,7 +33,12 @@ class SE3DSConfig:
   # Guidance-splat winner selection (ops/splat.py; timings/deviation at
   # 1M points from PERF.md "Fast-splat deviation"):
   #   'scatter'    exact reference semantics, 35.8 ms
-  #   'sorted'     exact, sort-based (eval default), 53 ms
+  #   'sorted'     exact, sort-based (eval default; log-step segmented
+  #                passes since round 3)
+  #   'sorted_packed' exact for byte-valued feats (RGB / class ids —
+  #                all product data) at near-'fast' cost: the channels
+  #                ride the (pixel, depth) sort as one packed u32 and
+  #                the feature image resolves with ONE scatter-max
   #   'fast'       packed single-scatter, 16.0 ms — DEFAULT. Deviates
   #                from exact only at multi-point collision windows:
   #                on an adversarial dense-overlap scene ~18-23% of

@@ -82,8 +82,8 @@ def equirectangular_pixel_rays(output_height: int) -> jnp.ndarray:
   return jnp.stack([xs, ys, zs], axis=0).reshape(3, -1)
 
 
-SPLAT_MODES = ('scatter', 'sorted', 'fast', 'fast_exact', 'pallas',
-               'pallas_exact')
+SPLAT_MODES = ('scatter', 'sorted', 'sorted_packed', 'fast', 'fast_exact',
+               'pallas', 'pallas_exact')
 
 
 def equirect_view_coords(xyz1: jnp.ndarray) -> jnp.ndarray:
@@ -139,6 +139,8 @@ def project_feats_to_equirectangular(
     depth_scale: Maximum depth in metres.
     use_sorted_splat: Legacy alias for splat_mode='sorted'.
     splat_mode: 'scatter' (exact, default), 'sorted' (exact, sort-based),
+      'sorted_packed' (exact for byte-valued feats — RGB / class ids —
+      at near-'fast' cost, splat.project_to_feat_sorted_packed),
       'fast' (packed single-scatter; byte-quantised winner selection,
       see splat.project_to_feat_fast), 'fast_exact' (exact 0.1 m
       window + packed tie-break, splat.project_to_feat_fast_exact),
@@ -175,6 +177,7 @@ def project_feats_to_equirectangular(
     splat_fn = {
         'scatter': splat.project_to_feat,
         'sorted': splat.project_to_feat_sorted,
+        'sorted_packed': splat.project_to_feat_sorted_packed,
         'fast': splat.project_to_feat_fast,
         'fast_exact': splat.project_to_feat_fast_exact,
     }[splat_mode]

@@ -331,6 +331,78 @@ def project_to_feat_fast_exact(
   return projected_depth, projected_feat
 
 
+def _shift_up(x: jnp.ndarray, off: int, fill) -> jnp.ndarray:
+  """x[i - off] with `fill` for i < off (leading-pad shift)."""
+  pad = jnp.full((off,) + x.shape[1:], fill, x.dtype)
+  return jnp.concatenate([pad, x[:-off]], axis=0)
+
+
+def _shift_down(x: jnp.ndarray, off: int, fill) -> jnp.ndarray:
+  """x[i + off] with `fill` for i >= len - off (trailing-pad shift)."""
+  pad = jnp.full((off,) + x.shape[1:], fill, x.dtype)
+  return jnp.concatenate([x[off:], pad], axis=0)
+
+
+def _segmented_window_max(sflat, sclip, sraw, svals, num_pixels, neg):
+  """Per-run window max over (pixel, depth)-sorted points.
+
+  Hillis-Steele log-step passes instead of `lax.associative_scan`: in
+  sorted order, equal pixel ids at distance `off` imply every element
+  between them shares the run, so a plain id-equality check replaces the
+  scan's segment-flag tuple carry (the dominant cost of the old exact
+  'sorted' mode — tuple scans over (M, C) re-materialise the full array
+  log2(M) times with a 2x tuple overhead; these passes are single fused
+  select/min kernels).
+
+  Args:
+    sflat: (M,) int32 pixel ids, sorted ascending (sentinel runs last).
+    sclip: (M,) depth clipped to depth_scale — the secondary sort key, so
+      each run starts at its minimum clipped depth.
+    sraw: (M,) raw depth (the reference's window check uses raw depth,
+      point_cloud_utils.py:168-169).
+    svals: (M, C) feature values.
+    num_pixels: Pixel-id sentinel bound.
+    neg: Value dominated by every real feature (-inf for f32, -1 for
+      byte lanes).
+
+  Returns:
+    (M, C) values where each element holds the per-channel max over the
+    collision-window members of its run *suffix* — so the run START
+    carries the full window max and per-channel dominates every other
+    element of its run (the scatter-domination invariant the callers'
+    single combining scatter relies on).
+  """
+  num_points = sflat.shape[0]
+  # Segmented prefix-min of clipped depth == run-start depth, broadcast.
+  run_min = sclip
+  off = 1
+  while off < num_points:
+    prev_pix = _shift_up(sflat, off, -1)
+    prev_min = _shift_up(run_min, off, jnp.inf)
+    run_min = jnp.where(prev_pix == sflat,
+                        jnp.minimum(run_min, prev_min), run_min)
+    off *= 2
+  # The collision window tests RAW depth against the clipped minimum
+  # (exactly `keep` in project_to_feat; strict <).
+  in_window = (sflat < num_pixels) & (
+      sraw < run_min + DEPTH_COLLISION_TOLERANCE)
+  # Per-channel (M,) arrays, NOT one (M, C) stack: TPU tiles the minor
+  # axis onto 128 lanes, so (M, C<=3) elementwise ops run at C/128 lane
+  # utilisation — the passes below cost ~40x more in that layout.
+  chans = [jnp.where(in_window, svals[:, c],
+                     jnp.full_like(svals[:, c], neg))
+           for c in range(svals.shape[-1])]
+  # Segmented suffix-max: run starts accumulate the whole run. The pixel
+  # comparison mask is shared across channels per pass (XLA CSEs it).
+  off = 1
+  while off < num_points:
+    same = _shift_down(sflat, off, -1) == sflat
+    chans = [jnp.where(same, jnp.maximum(v, _shift_down(v, off, neg)), v)
+             for v in chans]
+    off *= 2
+  return jnp.stack(chans, axis=-1)
+
+
 def project_to_feat_sorted(
     transformed_coords: jnp.ndarray,
     feats: jnp.ndarray,
@@ -340,14 +412,20 @@ def project_to_feat_sorted(
     input_void_class: float,
     output_void_class: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Sort-based z-buffer splat (TPU fast path).
+  """Sort-based z-buffer splat, bit-identical to `project_to_feat`.
 
-  Identical output contract to `project_to_feat`. Instead of data-dependent
-  scatter-min/scatter-max (which serialise on TPU), points are sorted by a
-  fused (pixel, depth) key; the first point of each pixel run carries the
-  minimum depth, and the feature max over the depth-tolerance window is
-  computed with a segmented max over the sorted order, finishing with a
-  unique-index scatter that XLA lowers to its fast path.
+  Points are sorted by a (pixel, clipped-depth) key pair; the run minimum
+  and the per-channel feature max over the reference's 0.1 m collision
+  window (point_cloud_utils.py:157-176) are then computed with log2(M)
+  segmented Hillis-Steele passes (see `_segmented_window_max` — replaces
+  the associative scans that dominated the old formulation). The depth
+  image is the same f32 scatter-min as the exact path, and the feature
+  image is C combining scatter-maxes whose winner is provably the run
+  start (suffix accumulation makes it per-channel dominant).
+
+  For byte-valued features (RGB / semantic classes) prefer
+  `project_to_feat_sorted_packed`, which collapses the sort payloads to
+  one packed u32 and the C feature scatters to one.
   """
   if feats.ndim not in (2, 3):
     raise ValueError(
@@ -364,73 +442,127 @@ def project_to_feat_sorted(
   flat, depth, valid = pixel_coords(transformed_coords, feats, height,
                                     width, input_void_class)
 
+  # Exact depth buffer, shared with the scatter path (raw-depth min onto a
+  # depth_scale-initialised buffer == min of clipped depths).
+  zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
+  zbuf = _batched_scatter_min(zbuf, flat, depth)
+  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
+                     ).reshape(batch_size, height, width)
+
   def one_batch(flat_b, depth_b, feats_b):
-    # Sort by (pixel, depth). The z-buffer stores min(depth, depth_scale)
-    # (the reference initialises with depth_scale, so deeper points lose),
-    # but the collision-window check below uses the *raw* depth, as the
-    # reference does (point_cloud_utils.py:168-169). Payloads ride the one
-    # sort (cheap on TPU) instead of a separate gather.
-    clipped_depth = jnp.minimum(depth_b, depth_scale)
+    clipped = jnp.minimum(depth_b, depth_scale)
     sorted_arrs = jax.lax.sort(
-        [flat_b, clipped_depth, depth_b]
+        [flat_b, clipped, depth_b]
         + [feats_b[:, c] for c in range(channels)], num_keys=2)
-    sflat = sorted_arrs[0]
-    sdepth = sorted_arrs[1]
-    sdepth_raw = sorted_arrs[2]
-    sfeats = jnp.stack(sorted_arrs[3:], axis=-1)
-
-    # First element of each pixel run == min depth for that pixel.
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sflat[1:] != sflat[:-1]])
-    first_idx = jnp.where(is_first, sflat, num_pixels)
-    zbuf = jnp.full((num_pixels + 1,), depth_scale, dtype)
-    zbuf = zbuf.at[first_idx].set(
-        jnp.where(is_first, sdepth, depth_scale), mode='drop',
-        unique_indices=True)  # one first element per real pixel run
-    zbuf = zbuf[:num_pixels]
-
-    # Propagate each run's min depth forward with a segmented-select scan
-    # (cheaper than gathering zbuf at 1M random indices).
-    def sel_combine(a, b):
-      a_flag, a_val = a
-      b_flag, b_val = b
-      return (a_flag | b_flag, jnp.where(b_flag, b_val, a_val))
-
-    _, run_min = jax.lax.associative_scan(
-        sel_combine, (is_first, sdepth), axis=0)
-
-    # Points in the collision window form a prefix of each run; mask the
-    # rest to -inf and take a segmented prefix-max.
-    in_window = (sflat < num_pixels) & (
-        sdepth_raw < run_min + DEPTH_COLLISION_TOLERANCE)
-    wfeats = jnp.where(in_window[:, None], sfeats,
-                       jnp.full_like(sfeats, -jnp.inf))
-
-    def max_combine(a, b):
-      a_flag, a_val = a
-      b_flag, b_val = b
-      val = jnp.where(b_flag[:, None], b_val, jnp.maximum(a_val, b_val))
-      return (a_flag | b_flag, val)
-
-    _, seg_max = jax.lax.associative_scan(
-        max_combine, (is_first, wfeats), axis=0)
-    # Last element of each run holds the segment max.
-    is_last = jnp.concatenate([sflat[1:] != sflat[:-1], jnp.ones((1,), bool)])
-    last_idx = jnp.where(is_last & (sflat < num_pixels), sflat, num_pixels)
-    seg_max = jnp.maximum(seg_max, output_void_class)
+    sflat, sclip, sraw = sorted_arrs[:3]
+    svals = jnp.stack(sorted_arrs[3:], axis=-1)
+    seg = _segmented_window_max(sflat, sclip, sraw, svals, num_pixels,
+                                -jnp.inf)
+    # Combining scatter-max onto a void-initialised buffer: the reference
+    # fills with output_void_class and scatter-maxes kept features, so
+    # below-void winners clamp to void for free.
+    idx = jnp.where(sflat < num_pixels, sflat, num_pixels)
     cols = []
     for c in range(channels):
-      col = jnp.full((num_pixels + 1,), output_void_class, dtype)
-      col = col.at[last_idx].set(seg_max[:, c], mode='drop',
-                                 unique_indices=True)
-      cols.append(col[:num_pixels])
-    fbuf = jnp.stack(cols, axis=-1)
-    return zbuf, fbuf
+      col = jnp.full((num_pixels,), output_void_class, dtype)
+      cols.append(col.at[idx].max(seg[:, c], mode='drop'))
+    return jnp.stack(cols, axis=-1)
 
-  zbuf, fbuf = jax.vmap(one_batch)(flat, depth, feats)
-  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale).reshape(
-      batch_size, height, width)
+  fbuf = jax.vmap(one_batch)(flat, depth, feats)
   projected_feat = fbuf.reshape(batch_size, height, width, channels)
+  if is_scalar_feat:
+    projected_feat = projected_feat[..., 0]
+  return projected_depth, projected_feat
+
+
+def project_to_feat_sorted_packed(
+    transformed_coords: jnp.ndarray,
+    feats: jnp.ndarray,
+    height: int,
+    width: int,
+    depth_scale: float,
+    input_void_class: float,
+    output_void_class: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Byte-packed sorted splat: EXACT semantics at near-'fast' cost.
+
+  Bit-identical to `project_to_feat` whenever features are integer-valued
+  in [0, 255] — true for every product call site (RGB bytes, semantic
+  class ids) — including the reference's per-channel max across the
+  collision window, the quirk no single-winner packed mode reproduces
+  (PERF.md "Fast-splat deviation"). Non-byte features silently clip:
+  use `project_to_feat_sorted` for the general f32 contract.
+
+  Cost structure vs the general sorted mode: the C feature channels ride
+  the (pixel, clipped-depth) sort as ONE packed u32 payload (the 4th
+  payload is past the TPU sort-cost cliff, PERF.md sort matrix), the
+  window max runs on unpacked i32 byte lanes, and the feature image
+  resolves with ONE combining u32 scatter-max — valid because the
+  suffix accumulation makes the run start per-channel dominant, and
+  per-channel domination implies packed-integer domination.
+  """
+  if feats.ndim not in (2, 3):
+    raise ValueError(
+        f'feats should have shape (N, M) or (N, M, C), got {feats.shape}')
+  is_scalar_feat = feats.ndim == 2
+  if is_scalar_feat:
+    feats = feats[..., None]
+  channels = feats.shape[-1]
+  if channels > 3:  # 8*channels + 1 valid bit must fit in 32
+    out = project_to_feat_sorted(transformed_coords, feats, height, width,
+                                 depth_scale, input_void_class,
+                                 output_void_class)
+    return out[0], (out[1][..., 0] if is_scalar_feat else out[1])
+  dtype = transformed_coords.dtype
+  feats = feats.astype(dtype)
+  batch_size, _, _ = transformed_coords.shape
+  num_pixels = height * width
+
+  flat, depth, valid = pixel_coords(transformed_coords, feats, height,
+                                    width, input_void_class)
+
+  zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
+  zbuf = _batched_scatter_min(zbuf, flat, depth)
+  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
+                     ).reshape(batch_size, height, width)
+
+  fbytes = jnp.clip(feats, 0.0, 255.0).astype(jnp.uint32)
+  packed = jnp.zeros_like(flat, dtype=jnp.uint32)
+  for c in range(channels):
+    packed = packed | (fbytes[..., c] << (8 * (channels - 1 - c)))
+
+  def one_batch(flat_b, depth_b, packed_b):
+    clipped = jnp.minimum(depth_b, depth_scale)
+    sflat, sclip, sraw, spacked = jax.lax.sort(
+        [flat_b, clipped, depth_b, packed_b], num_keys=2)
+    lanes = jnp.stack(
+        [((spacked >> (8 * (channels - 1 - c))) & 0xFF).astype(jnp.int32)
+         for c in range(channels)], axis=-1)
+    seg = _segmented_window_max(sflat, sclip, sraw, lanes, num_pixels, -1)
+    # Repack with an LSB valid bit (runs whose window is empty — nearest
+    # point beyond depth_scale + tolerance — stay 0 = "no winner").
+    valid_run = seg[:, 0] >= 0
+    out_packed = jnp.zeros_like(spacked)
+    for c in range(channels):
+      out_packed = out_packed | (
+          (seg[:, c].astype(jnp.uint32) & 0xFF)
+          << (8 * (channels - 1 - c) + 1))
+    out_packed = jnp.where(valid_run, out_packed | 1, 0)
+    idx = jnp.where(sflat < num_pixels, sflat, num_pixels)
+    return jnp.zeros((num_pixels,), jnp.uint32).at[idx].max(
+        out_packed, mode='drop')
+
+  pbuf = jax.vmap(one_batch)(flat, depth, packed)
+  got_point = pbuf != 0
+  void = jnp.asarray(output_void_class, dtype)
+  cols = []
+  for c in range(channels):
+    col = ((pbuf >> (8 * (channels - 1 - c) + 1)) & 0xFF).astype(dtype)
+    # Reference semantics: scatter-max onto a void-initialised buffer, so
+    # winners clamp to >= void and empty pixels read void.
+    cols.append(jnp.where(got_point, jnp.maximum(col, void), void))
+  projected_feat = jnp.stack(cols, axis=-1).reshape(
+      batch_size, height, width, channels)
   if is_scalar_feat:
     projected_feat = projected_feat[..., 0]
   return projected_depth, projected_feat

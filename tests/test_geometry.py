@@ -138,6 +138,92 @@ def test_splat_variants_agree():
   np.testing.assert_allclose(pf1, pf2, atol=1e-6)
 
 
+def _dense_collision_cloud(num_points=6000, channels=3, seed=0,
+                           byte_feats=True, scale=10.0):
+  """Random cloud aimed at a tiny image: nearly every pixel's 0.1 m
+  window holds several points, exercising run-min propagation, the raw
+  vs clipped depth distinction (some depths beyond depth_scale), voids,
+  and the per-channel window max."""
+  rng = np.random.RandomState(seed)
+  coords = rng.uniform(-4, 4, (2, 4, num_points)).astype(np.float32)
+  coords[:, 3] = 1.0
+  # Cluster depths so collision windows are dense; push some past scale.
+  coords[:, 2] = np.abs(coords[:, 2]) * 0.2 + rng.choice(
+      [0.5, 0.55, scale - 0.02, scale + 3.0], num_points)
+  if byte_feats:
+    feats = rng.randint(-1, 256, (2, num_points, channels)).astype(
+        np.float32)
+  else:
+    feats = rng.uniform(-300.0, 300.0, (2, num_points, channels)).astype(
+        np.float32)
+    feats[rng.uniform(size=feats.shape[:2]) < 0.05] = -1.0  # voids
+  return jnp.asarray(coords), jnp.asarray(feats)
+
+
+@pytest.mark.parametrize('void', [0.0, 5.0])
+def test_sorted_matches_scatter_bitwise_dense(void):
+  """The rewritten log-step 'sorted' mode must be BIT-identical to the
+  defining 'scatter' mode on a heavy-collision cloud with general f32
+  feature values (not byte-representable)."""
+  coords, feats = _dense_collision_cloud(byte_feats=False)
+  pd1, pf1 = splat.project_to_feat(coords, feats, height=6, width=12,
+                                   depth_scale=10.0, input_void_class=-1.0,
+                                   output_void_class=void)
+  pd2, pf2 = splat.project_to_feat_sorted(
+      coords, feats, height=6, width=12, depth_scale=10.0,
+      input_void_class=-1.0, output_void_class=void)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+
+@pytest.mark.parametrize('channels', [1, 3])
+@pytest.mark.parametrize('void', [0.0, 5.0])
+def test_sorted_packed_matches_scatter_bitwise_dense(channels, void):
+  """'sorted_packed' is exact (incl. the reference's per-channel window
+  max) whenever feats are integer-valued bytes — all product data."""
+  coords, feats = _dense_collision_cloud(byte_feats=True, channels=channels)
+  pd1, pf1 = splat.project_to_feat(coords, feats, height=6, width=12,
+                                   depth_scale=10.0, input_void_class=-1.0,
+                                   output_void_class=void)
+  pd2, pf2 = splat.project_to_feat_sorted_packed(
+      coords, feats, height=6, width=12, depth_scale=10.0,
+      input_void_class=-1.0, output_void_class=void)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+
+def test_sorted_packed_scalar_and_empty():
+  coords, feats = _dense_collision_cloud(channels=1)
+  sfeats = feats[..., 0]
+  pd1, pf1 = splat.project_to_feat(coords, sfeats, height=6, width=12,
+                                   depth_scale=10.0, input_void_class=-1.0)
+  pd2, pf2 = splat.project_to_feat_sorted_packed(
+      coords, sfeats, height=6, width=12, depth_scale=10.0,
+      input_void_class=-1.0)
+  assert pf2.shape == (2, 6, 12)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+  # Empty cloud: all-void image at depth 1.0 (= depth_scale scaled).
+  empty_c = jnp.zeros((1, 4, 0), jnp.float32)
+  empty_f = jnp.zeros((1, 0, 3), jnp.float32)
+  pd, pf = splat.project_to_feat_sorted_packed(
+      empty_c, empty_f, height=4, width=8, depth_scale=10.0,
+      input_void_class=-1.0, output_void_class=2.0)
+  np.testing.assert_array_equal(np.asarray(pd), np.ones((1, 4, 8)))
+  np.testing.assert_array_equal(np.asarray(pf), np.full((1, 4, 8, 3), 2.0))
+
+
+def test_sorted_packed_four_channels_falls_back():
+  coords, feats = _dense_collision_cloud(channels=4)
+  pd1, pf1 = splat.project_to_feat(coords, feats, height=6, width=12,
+                                   depth_scale=10.0, input_void_class=-1.0)
+  pd2, pf2 = splat.project_to_feat_sorted_packed(
+      coords, feats, height=6, width=12, depth_scale=10.0,
+      input_void_class=-1.0)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+
+
 def test_rotate_pano_identity():
   pano = jnp.asarray(GOLDEN['pano_in'])
   eye = jnp.tile(jnp.eye(3)[None], (pano.shape[0], 1, 1))
