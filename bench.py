@@ -17,8 +17,15 @@ Env knobs:
   SE3DS_BENCH_DTYPE  float32|bfloat16 (default bfloat16)
   SE3DS_BENCH_FRAMES memory capacity in frames (default 2)
   SE3DS_BENCH_ITERS  timed iterations (default 10)
+  SE3DS_BENCH_REPEATS measurement windows; the MEDIAN window is reported
+                     and the spread printed to stderr (inference mode,
+                     default 3 — relay load varies ~3% night-to-night)
   SE3DS_BENCH_GENDIMS generator dims (default 128)
-  SE3DS_BENCH_SPLAT  scatter|sorted|fast (default fast)
+  SE3DS_BENCH_SPLAT  any ops/splat mode: scatter|sorted|sorted_packed|
+                     fast|fast_exact|pallas|pallas_exact (defaults:
+                     inference/trajectory/stream 'fast'; eval
+                     'pallas_exact' — the fastest EXACT mode, see
+                     PERF.md round-4 mode menu)
   SE3DS_BENCH_BATCH  per-chip train batch (train mode, default 8);
                      scenes served in lockstep (inference mode, default 1)
   SE3DS_BENCH_FUSED  trajectory mode: 1 = one XLA program for all T
@@ -196,11 +203,19 @@ def bench_eval():
           * np.array([1, 1, 0.1, 0])),
   }
 
+  splat_mode = os.environ.get('SE3DS_BENCH_SPLAT', 'pallas_exact')
+  if splat_mode in ('pallas', 'pallas_exact'):
+    # Eager Mosaic probe: first hit during the jit trace below would
+    # silently degrade this program (see splat_pallas.pallas_available).
+    from se3ds_tpu.ops import splat_pallas
+    (splat_pallas.pallas_available if splat_mode == 'pallas'
+     else splat_pallas.pallas_exact_available)()
+
   @jax.jit
   def eval_step(v, batch_in, key):
     generated, rmse, _ = metrics_lib.rollout_generated(
         generator_apply, v, batch_in, seq_len, 20.0, True,
-        splat_mode='sorted')
+        splat_mode=splat_mode)
     keys = jax.random.split(key, seq_len)
     pools = {}
     for i in range(1, seq_len):
@@ -221,8 +236,8 @@ def bench_eval():
   elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
   frames_per_sec = iters * batch * seq_len / elapsed
   result = {
-      'metric': (f'{w}x{h} eval-rollout frames/sec/chip (sorted splat + '
-                 f'Inception pools, T={seq_len}, batch {batch})'),
+      'metric': (f'{w}x{h} eval-rollout frames/sec/chip ({splat_mode} '
+                 f'splat + Inception pools, T={seq_len}, batch {batch})'),
       'value': round(frames_per_sec, 4),
       'unit': 'frames/sec',
       # Each rollout frame is one guidance splat + generator forward,
@@ -456,20 +471,34 @@ def main():
   _ = np.asarray(out.pred_rgb[0, 0, :4])
   fetch_latency = time.perf_counter() - t0
 
-  t0 = time.perf_counter()
-  for _ in range(iters):
-    out = model(target)
-  enqueue_elapsed = time.perf_counter() - t0  # host dispatch only
-  _ = np.asarray(out.pred_rgb[0, 0, :4])
-  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+  # Variance-robust protocol: K independent measurement windows; report
+  # the MEDIAN window and print the spread. Relay/host load moves single
+  # windows ~3% night-to-night (PERF.md); the median + published spread
+  # makes the headline comparable across rounds.
+  repeats = int(os.environ.get('SE3DS_BENCH_REPEATS', 3))
+  window_rates = []
+  enqueue_elapsed = 0.0
+  for _ in range(repeats):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+      out = model(target)
+    enqueue_elapsed = time.perf_counter() - t0  # host dispatch only
+    _ = np.asarray(out.pred_rgb[0, 0, :4])
+    elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+    window_rates.append(iters * batch / elapsed)
   if os.environ.get('SE3DS_BENCH_ENQUEUE', '0') == '1':
     # Host-side enqueue cost per call (dispatch/serialisation through the
     # relay). If this approaches the total, the loop is host-bound and
     # device-side optimisation cannot move the headline.
-    print(f'# enqueue {enqueue_elapsed / iters * 1e3:.2f} ms/call vs total '
-          f'{elapsed / iters * 1e3:.2f} ms/call', file=sys.stderr)
+    print(f'# enqueue {enqueue_elapsed / iters * 1e3:.2f} ms/call (last '
+          'window)', file=sys.stderr)
 
-  panos_per_sec = iters * batch / elapsed
+  panos_per_sec = float(np.median(window_rates))
+  if repeats > 1:
+    spread = (max(window_rates) - min(window_rates)) / panos_per_sec
+    print(f'# windows {[round(r, 2) for r in window_rates]} '
+          f'panos/sec; median {panos_per_sec:.2f}, spread '
+          f'{spread * 100:.1f}%', file=sys.stderr)
   batch_tag = f', batch {batch}' if batch > 1 else ''
   result = {
       'metric': f'{w}x{h} panoramas/sec/chip (MP3D inference{batch_tag})',

@@ -30,25 +30,30 @@ class SE3DSConfig:
   # TPU-native additions.
   memory_frames: int = constants.PANO_VIDEO_LENGTH  # memory capacity in frames
   compute_dtype: str = 'float32'  # 'bfloat16' for faster inference
-  # Guidance-splat winner selection (ops/splat.py; timings/deviation at
-  # 1M points from PERF.md "Fast-splat deviation"):
-  #   'scatter'    exact reference semantics, 35.8 ms
-  #   'sorted'     exact, sort-based (eval default; log-step segmented
-  #                passes since round 3)
+  # Guidance-splat winner selection (ops/splat.py; ms/splat measured
+  # on-chip at 1M points -> 1024x512, PERF.md round-4 mode menu;
+  # deviation bounds from PERF.md "Fast-splat deviation"):
+  #   'scatter'    exact reference semantics, 35.9 ms
+  #   'sorted'     exact, sort-based, 55.6 ms (general f32 features)
   #   'sorted_packed' exact for byte-valued feats (RGB / class ids —
-  #                all product data) at near-'fast' cost: the channels
-  #                ride the (pixel, depth) sort as one packed u32 and
-  #                the feature image resolves with ONE scatter-max
-  #   'fast'       packed single-scatter, 16.0 ms — DEFAULT. Deviates
+  #                all product data), 36.4 ms: the round-3 "near-'fast'"
+  #                estimate did NOT survive measurement — the segmented
+  #                window passes dominate, landing it at 'scatter' cost
+  #   'fast'       packed single-scatter, 16.1 ms — DEFAULT. Deviates
   #                from exact only at multi-point collision windows:
   #                on an adversarial dense-overlap scene ~18-23% of
   #                valid pixels differ (mean |delta| 2-11/255 by
-  #                texture); depth output is always exact.
-  #   'fast_exact' exact 0.1 m window + packed tie-break, 23.4 ms —
+  #                texture); depth output is always exact. The fastest
+  #                EXACT mode costs +72% (pallas_exact below), so the
+  #                default keeps speed; one knob away from exact.
+  #   'fast_exact' exact 0.1 m window + packed tie-break, 23.5 ms —
   #                bit-identical to 'scatter' at single-point windows.
-  #   'pallas'     Mosaic kernel with 'fast' semantics (auto-degrades).
+  #   'pallas'     Mosaic kernel with 'fast' semantics, 20.5 ms
+  #                (auto-degrades; loses to 'fast' — kept as tested
+  #                infrastructure).
   #   'pallas_exact' Mosaic kernel bit-identical to 'scatter' (exact
-  #                window + per-channel max); degrades to 'scatter'.
+  #                window + per-channel max), 27.7 ms — the FASTEST
+  #                EXACT mode; degrades to 'scatter'. Eval default.
   splat_mode: str = 'fast'
   # Fold spectral norms into kernels once at load (bitwise-equal at eval,
   # models/folding.py) instead of re-normalising every weight per forward.

@@ -22,6 +22,7 @@ faster on TPU where vector scatters serialise.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -490,8 +491,10 @@ def project_to_feat_sorted_packed(
   in [0, 255] — true for every product call site (RGB bytes, semantic
   class ids) — including the reference's per-channel max across the
   collision window, the quirk no single-winner packed mode reproduces
-  (PERF.md "Fast-splat deviation"). Non-byte features silently clip:
-  use `project_to_feat_sorted` for the general f32 contract.
+  (PERF.md "Fast-splat deviation"). Non-byte features clip/truncate:
+  use `project_to_feat_sorted` for the general f32 contract. Set
+  SE3DS_DEBUG_SPLAT=1 to trap non-byte VALID features at runtime (void
+  features are exempt — invalid points never reach the scatter).
 
   Cost structure vs the general sorted mode: the C feature channels ride
   the (pixel, clipped-depth) sort as ONE packed u32 payload (the 4th
@@ -509,10 +512,11 @@ def project_to_feat_sorted_packed(
     feats = feats[..., None]
   channels = feats.shape[-1]
   if channels > 3:  # 8*channels + 1 valid bit must fit in 32
-    out = project_to_feat_sorted(transformed_coords, feats, height, width,
-                                 depth_scale, input_void_class,
-                                 output_void_class)
-    return out[0], (out[1][..., 0] if is_scalar_feat else out[1])
+    # is_scalar_feat is necessarily False here (scalar feats expand to
+    # channels == 1), so the general mode's 4-D output passes through.
+    return project_to_feat_sorted(transformed_coords, feats, height, width,
+                                  depth_scale, input_void_class,
+                                  output_void_class)
   dtype = transformed_coords.dtype
   feats = feats.astype(dtype)
   batch_size, _, _ = transformed_coords.shape
@@ -520,6 +524,21 @@ def project_to_feat_sorted_packed(
 
   flat, depth, valid = pixel_coords(transformed_coords, feats, height,
                                     width, input_void_class)
+
+  if os.environ.get('SE3DS_DEBUG_SPLAT', '0') == '1':
+    # Debug-mode contract check (static gate: zero cost when off). Only
+    # VALID points participate in the splat, so void feature values
+    # (e.g. -1 RGB sentinels) are exempt.
+    bad = jnp.any(valid[..., None] & (
+        (feats != jnp.round(feats)) | (feats < 0) | (feats > 255)))
+
+    def _trap(b):
+      if bool(b):
+        raise ValueError(
+            "splat_mode='sorted_packed' requires integer features in "
+            '[0, 255] on valid points; got non-byte values. Use '
+            "splat_mode='sorted' for general float features.")
+    jax.debug.callback(_trap, bad)
 
   zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
   zbuf = _batched_scatter_min(zbuf, flat, depth)
