@@ -12,9 +12,13 @@ build it), and the discriminator at both the toy (n_layers=3) and the
 production (n_dis=2, n_layers=6) depths. Asserts the fp32-achievable
 tolerance (observed ~1e-7 max; asserted <= 1e-5, PARITY.md).
 
+Also exercises scripts/convert_tf_checkpoint.py end-to-end (TF ckpt ->
+CLI -> Orbax -> restore -> forward parity), see convert_cli_parity().
+
 Run on CPU: JAX_PLATFORMS=cpu python scripts/test_tf_parity.py
 Env: SE3DS_PARITY_GEN_VERSIONS (default "50,101"),
-     SE3DS_PARITY_DIS_LAYERS (default "3,6").
+     SE3DS_PARITY_DIS_LAYERS (default "3,6"),
+     SE3DS_PARITY_CLI (default "1": run the CLI round-trip case).
 """
 
 import os
@@ -87,6 +91,51 @@ def generator_parity(version: str):
         'reference outputs')
 
 
+def convert_cli_parity(version: str = '50'):
+  """End-to-end proof of scripts/convert_tf_checkpoint.py: reference TF
+  checkpoint -> CLI -> Orbax -> restore -> forward parity."""
+  import jax
+  import jax.numpy as jnp
+  import tensorflow as tf
+  from _ref_tf import import_reference_models
+  import convert_tf_checkpoint as cli
+  from se3ds_tpu.models import generator as gen_lib
+  from se3ds_tpu.train import checkpoints
+
+  image_models = import_reference_models()
+  size, gen_dims = 64, 4
+  h, w = size, size * 2
+  rng = np.random.RandomState(2)
+  cond_np = {
+      'proj_image': rng.rand(1, h, w, 3).astype(np.float32),
+      'proj_depth': rng.rand(1, h, w, 1).astype(np.float32),
+      'proj_mask': (rng.rand(1, h, w, 1) > 0.4).astype(np.float32),
+      'blurred_mask': np.zeros((1, h, w, 1), np.float32),
+  }
+  tf_gen = image_models.ResNetGenerator(
+      image_size=size, gen_dims=gen_dims, z_dim=4, resnet_version=version)
+  tf_inputs = {k: tf.constant(v) for k, v in cond_np.items()}
+  tf_rgb = tf_gen(inputs=[tf_inputs, None], training=False)[6].numpy()
+  ckpt = tf.train.Checkpoint(ema_generator=tf_gen)
+  ckpt_path = ckpt.save(os.path.join(tempfile.mkdtemp(), 'ck'))
+
+  out_dir = os.path.join(tempfile.mkdtemp(), 'orbax')
+  # Directory form of --tf_ckpt exercises resolve_ckpt_prefix too.
+  cli.main(['--tf_ckpt', os.path.dirname(ckpt_path), '--output', out_dir,
+            '--image_height', str(size), '--gen_dims', str(gen_dims),
+            '--z_dim', '4', '--resnet_version', version])
+
+  variables = checkpoints.restore_ema_generator(out_dir)
+  flax_gen = gen_lib.ResNetGenerator(
+      image_size=size, gen_dims=gen_dims, z_dim=4, resnet_version=version)
+  cond = {k: jnp.asarray(v) for k, v in cond_np.items()}
+  jax_rgb = np.asarray(flax_gen.apply(variables, cond, train=False)[6])
+  err = np.abs(jax_rgb - tf_rgb).max()
+  print(f'[convert-cli R{version}] max |rgb diff| = {err:.2e}')
+  assert err < TOLERANCE, err
+  print(f'[convert-cli R{version}] CLI ROUND-TRIP PARITY OK')
+
+
 def discriminator_parity(n_layers: int, n_dis: int = 2):
   import jax
   import jax.numpy as jnp
@@ -132,6 +181,8 @@ def main():
   layer_counts = os.environ.get('SE3DS_PARITY_DIS_LAYERS', '3,6')
   for n_layers in [int(v) for v in layer_counts.split(',') if v]:
     discriminator_parity(n_layers)
+  if os.environ.get('SE3DS_PARITY_CLI', '1') == '1':
+    convert_cli_parity()
   print('ALL PARITY CASES OK')
 
 

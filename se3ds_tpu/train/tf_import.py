@@ -139,7 +139,12 @@ def convert_tf_checkpoint(ckpt_path: str, flax_variables: Any,
   Args:
     ckpt_path: TF checkpoint prefix (tf.train.load_checkpoint format).
     flax_variables: Template tree {'params':…, 'batch_stats':…,
-      'spectral':…} from `model.init`.
+      'spectral':…} from `model.init` — or from
+      `jax.eval_shape(model.init, ...)`: leaves only need `.shape` and
+      `.dtype`, so an abstract template keeps conversion memory bounded
+      by the CONVERTED branch (the TF reader loads tensors one by one;
+      the template itself holds no data). scripts/convert_tf_checkpoint.py
+      is the CLI wrapper around this path.
     root: Checkpoint root attribute ('ema_generator' or 'generator').
 
   Returns:
@@ -208,13 +213,18 @@ def convert_tf_checkpoint(ckpt_path: str, flax_variables: Any,
     if _is_transpose_conv(module_path) and leaf == 'kernel':
       # Keras HWOI -> Flax HWIO with spatial flip.
       arr = np.transpose(arr, (0, 1, 3, 2))[::-1, ::-1]
-    if arr.shape != np.shape(leaf_val):
+    # Attribute access (not np.shape/np.asarray) so abstract templates
+    # (jax.eval_shape leaves) work without materialising the tree.
+    want_shape = tuple(getattr(leaf_val, 'shape', np.shape(leaf_val)))
+    if arr.shape != want_shape:
       errors.append(
           f'{col}/{module_path}/{leaf}: shape {arr.shape} vs '
-          f'{np.shape(leaf_val)} (tf key {tf_key})')
+          f'{want_shape} (tf key {tf_key})')
       continue
-    values[(col,) + tuple(module_parts) + (leaf,)] = arr.astype(
-        np.asarray(leaf_val).dtype)
+    want_dtype = getattr(leaf_val, 'dtype', None)
+    if want_dtype is None:
+      want_dtype = np.asarray(leaf_val).dtype
+    values[(col,) + tuple(module_parts) + (leaf,)] = arr.astype(want_dtype)
 
   if errors:
     raise KeyError(f'{len(errors)} unresolved/mismatched leaves, e.g. '
