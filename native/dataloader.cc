@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -263,6 +264,9 @@ int DecodePng(const uint8_t* data, size_t len, PngInfo* info, uint8_t* out,
         case 6: info->channels = 4; break;
         default: return -4;
       }
+      // Header-only query: skip the IDAT accumulation (it copies the
+      // whole compressed stream, ~MBs per pano).
+      if (out == nullptr) return 0;
     } else if (memcmp(tag, "IDAT", 4) == 0) {
       idat.insert(idat.end(), payload, payload + chunk_len);
     } else if (memcmp(tag, "IEND", 4) == 0) {
@@ -274,28 +278,35 @@ int DecodePng(const uint8_t* data, size_t len, PngInfo* info, uint8_t* out,
   size_t bpp = info->channels * (info->bit_depth / 8);
   size_t stride = info->width * bpp;
   size_t raw_size = info->height * (stride + 1);
-  if (out == nullptr) return 0;  // size query
   if (out_capacity < info->height * stride) return -6;
 
-  std::vector<uint8_t> raw(raw_size);
+  // new[] (not std::vector) so the multi-MB scratch is NOT zero-filled
+  // before uncompress overwrites every byte.
+  std::unique_ptr<uint8_t[]> raw(new uint8_t[raw_size]);
   uLongf dest_len = raw_size;
-  if (uncompress(raw.data(), &dest_len, idat.data(), idat.size()) != Z_OK ||
+  if (uncompress(raw.get(), &dest_len, idat.data(), idat.size()) != Z_OK ||
       dest_len != raw_size) {
     return -7;
   }
-  std::vector<uint8_t> prev(stride, 0);
+  // The previous row is read straight from `out` (a zero row for y = 0)
+  // — no per-row copy. The first `bpp` bytes of each filtered row have
+  // no left neighbour (a = c = 0), so each filter peels them off and
+  // the hot loop runs branch-free.
+  std::vector<uint8_t> zero_row(stride, 0);
+  const uint8_t* prev = zero_row.data();
   for (uint32_t y = 0; y < info->height; ++y) {
     uint8_t filter = raw[y * (stride + 1)];
-    const uint8_t* line = raw.data() + y * (stride + 1) + 1;
+    const uint8_t* line = raw.get() + y * (stride + 1) + 1;
     uint8_t* cur = out + y * stride;
+    size_t head = stride < bpp ? stride : bpp;
     switch (filter) {
       case 0:
         memcpy(cur, line, stride);
         break;
       case 1:
-        for (size_t x = 0; x < stride; ++x) {
-          uint8_t a = x >= bpp ? cur[x - bpp] : 0;
-          cur[x] = static_cast<uint8_t>(line[x] + a);
+        memcpy(cur, line, head);
+        for (size_t x = head; x < stride; ++x) {
+          cur[x] = static_cast<uint8_t>(line[x] + cur[x - bpp]);
         }
         break;
       case 2:
@@ -304,23 +315,29 @@ int DecodePng(const uint8_t* data, size_t len, PngInfo* info, uint8_t* out,
         }
         break;
       case 3:
-        for (size_t x = 0; x < stride; ++x) {
-          uint8_t a = x >= bpp ? cur[x - bpp] : 0;
-          cur[x] = static_cast<uint8_t>(line[x] + ((a + prev[x]) >> 1));
+        for (size_t x = 0; x < head; ++x) {
+          cur[x] = static_cast<uint8_t>(line[x] + (prev[x] >> 1));
+        }
+        for (size_t x = head; x < stride; ++x) {
+          cur[x] = static_cast<uint8_t>(
+              line[x] + ((cur[x - bpp] + prev[x]) >> 1));
         }
         break;
       case 4:
-        for (size_t x = 0; x < stride; ++x) {
-          int a = x >= bpp ? cur[x - bpp] : 0;
-          int b = prev[x];
-          int c = x >= bpp ? prev[x - bpp] : 0;
-          cur[x] = static_cast<uint8_t>(line[x] + PaethPredictor(a, b, c));
+        // Paeth with a = c = 0 reduces to b (= prev).
+        for (size_t x = 0; x < head; ++x) {
+          cur[x] = static_cast<uint8_t>(line[x] + prev[x]);
+        }
+        for (size_t x = head; x < stride; ++x) {
+          cur[x] = static_cast<uint8_t>(
+              line[x] + PaethPredictor(cur[x - bpp], prev[x],
+                                       prev[x - bpp]));
         }
         break;
       default:
         return -8;
     }
-    memcpy(prev.data(), cur, stride);
+    prev = cur;
   }
   return 0;
 }
@@ -338,30 +355,40 @@ int DecodePngInto(const FeatureValue& fv, int expect_channels,
   // Allow channel mismatch 1 vs expected (e.g. grayscale stored).
   size_t bpp = info.channels * (info.bit_depth / 8);
   size_t n = info.height * info.width * bpp;
-  std::vector<uint8_t> tmp(n);
-  rc = DecodePng(fv.bytes, fv.bytes_len, &info, tmp.data(), n);
-  if (rc != 0) return rc;
-  if (info.bit_depth == 8) {
-    uint8_t* dst = static_cast<uint8_t*>(out);
-    if (info.channels == expect_channels) {
-      memcpy(dst, tmp.data(), n);
-    } else if (info.channels == 1 && expect_channels == 3) {
-      for (size_t i = 0; i < info.height * info.width; ++i) {
-        dst[3 * i] = dst[3 * i + 1] = dst[3 * i + 2] = tmp[i];
-      }
-    } else if (expect_channels == 1) {
-      for (size_t i = 0; i < info.height * info.width; ++i) {
-        dst[i] = tmp[i * info.channels];
-      }
-    } else {
-      return -23;
-    }
-  } else {  // 16-bit: PNG big-endian -> host little-endian
-    uint16_t* dst = static_cast<uint16_t*>(out);
+  if (info.bit_depth == 8 && info.channels == expect_channels) {
+    // Common case: unfilter straight into the caller's buffer (no tmp
+    // double-buffer, no copy).
+    return DecodePng(fv.bytes, fv.bytes_len, &info,
+                     static_cast<uint8_t*>(out), n);
+  }
+  if (info.bit_depth == 16) {  // PNG big-endian -> host little-endian
     if (info.channels != 1 || expect_channels != 1) return -24;
+    // Decode in place, then swap each byte pair (each element reads the
+    // two bytes it overwrites — elementwise safe).
+    uint8_t* raw8 = static_cast<uint8_t*>(out);
+    rc = DecodePng(fv.bytes, fv.bytes_len, &info, raw8, n);
+    if (rc != 0) return rc;
+    uint16_t* dst = static_cast<uint16_t*>(out);
     for (size_t i = 0; i < info.height * info.width; ++i) {
-      dst[i] = static_cast<uint16_t>((tmp[2 * i] << 8) | tmp[2 * i + 1]);
+      dst[i] = static_cast<uint16_t>((raw8[2 * i] << 8) | raw8[2 * i + 1]);
     }
+    return 0;
+  }
+  // Channel-count mismatch (rare): decode to scratch, then remap.
+  std::unique_ptr<uint8_t[]> tmp(new uint8_t[n]);
+  rc = DecodePng(fv.bytes, fv.bytes_len, &info, tmp.get(), n);
+  if (rc != 0) return rc;
+  uint8_t* dst = static_cast<uint8_t*>(out);
+  if (info.channels == 1 && expect_channels == 3) {
+    for (size_t i = 0; i < info.height * info.width; ++i) {
+      dst[3 * i] = dst[3 * i + 1] = dst[3 * i + 2] = tmp[i];
+    }
+  } else if (expect_channels == 1) {
+    for (size_t i = 0; i < info.height * info.width; ++i) {
+      dst[i] = tmp[i * info.channels];
+    }
+  } else {
+    return -23;
   }
   return 0;
 }

@@ -11,7 +11,10 @@ The result row lives in PERF.md ("Host pipeline vs device demand").
 
 Usage: python scripts/bench_input_pipeline.py   (CPU-only; no jax)
 Env: SE3DS_PIPE_HEIGHT (default 1024), SE3DS_PIPE_RECORDS (default 24),
-     SE3DS_PIPE_SECONDS (default 20), SE3DS_PIPE_IMAGE_SIZE (default 128).
+     SE3DS_PIPE_SECONDS (default 20), SE3DS_PIPE_IMAGE_SIZE (default 128),
+     SE3DS_PIPE_DIR (reuse/create the fixture in this dir instead of a
+     fresh tempdir — fixture generation costs ~2 min, so A/B runs of the
+     decode path should share one).
 """
 
 import json
@@ -35,14 +38,19 @@ def main():
   image_size = int(os.environ.get('SE3DS_PIPE_IMAGE_SIZE', 128))
 
   import tempfile
-  workdir = tempfile.mkdtemp(prefix='se3ds_pipe_')
-  path = os.path.join(workdir, 'train-0.tfrecord')
-  t0 = time.perf_counter()
-  synthetic.write_image_fixture(path, num_examples=num_records,
-                                height=height)
-  print(f'# fixture: {num_records} {height}-high records in '
-        f'{time.perf_counter() - t0:.1f}s, '
-        f'{os.path.getsize(path) / 1e6:.1f} MB')
+  workdir = os.environ.get('SE3DS_PIPE_DIR') or tempfile.mkdtemp(
+      prefix='se3ds_pipe_')
+  os.makedirs(workdir, exist_ok=True)
+  path = os.path.join(workdir, f'train-{height}-{num_records}.tfrecord')
+  if not os.path.exists(path):
+    t0 = time.perf_counter()
+    synthetic.write_image_fixture(path, num_examples=num_records,
+                                  height=height)
+    print(f'# fixture: {num_records} {height}-high records in '
+          f'{time.perf_counter() - t0:.1f}s, '
+          f'{os.path.getsize(path) / 1e6:.1f} MB')
+  else:
+    print(f'# fixture reused: {path} ({os.path.getsize(path) / 1e6:.1f} MB)')
 
   ds = ds_lib.R2RImageDataset(image_size=image_size,
                               preprocessed_image_height=height,
