@@ -28,6 +28,8 @@ Env knobs:
                      PERF.md round-4 mode menu)
   SE3DS_BENCH_BATCH  per-chip train batch (train mode, default 8);
                      scenes served in lockstep (inference mode, default 1)
+  SE3DS_BENCH_SEM_ELIDE trajectory mode: 0 = defeat the real-semantics
+                     splat elision for an A/B (default 1)
   SE3DS_BENCH_FUSED  trajectory mode: 1 = one XLA program for all T
                      frames (default), 0 = per-frame host loop A/B
 
@@ -373,11 +375,19 @@ def bench_trajectory():
   snapshots = [(jax.tree.map(jnp.copy, mem0), jnp.copy(prev0))
                for _ in range(iters)]
 
+  # SE3DS_BENCH_SEM_ELIDE=0 defeats the real-semantics elision (the
+  # semantic splat then covers the full live extent every frame, as if
+  # predicted frames held real semantics) for a back-to-back A/B of the
+  # static void-frame slicing.
+  sem_elide = os.environ.get('SE3DS_BENCH_SEM_ELIDE', '1') != '0'
+
   def restore(snap):
     # Bypass set_memory_state: its cursor fetch is a host sync that
     # would serialise the timing loop.
     model._memory, model.prev_rgb_frame = snap
     model._frames_written = model._total_frames = 1
+    model._sem_real = ([True] * frames if not sem_elide
+                       else [i == 0 for i in range(frames)])
 
   fused = os.environ.get('SE3DS_BENCH_FUSED', '1') != '0'
 
@@ -389,6 +399,10 @@ def bench_trajectory():
       out = model(targets[t], add_preds_to_memory=True)
     return out
 
+  # Warm up through restore() so the compile covers the same program
+  # variant the timed runs use (the SE3DS_BENCH_SEM_ELIDE flip changes
+  # the static semantic extent, i.e. the jit cache key).
+  restore((jax.tree.map(jnp.copy, mem0), jnp.copy(prev0)))
   out = run()  # compile (per-frame mode compiles each extent bucket)
   _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   t0 = time.perf_counter()

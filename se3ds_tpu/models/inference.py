@@ -409,16 +409,17 @@ class SE3DSModel:
         pole_compact=config.pole_compact),
         static_argnames=('mask_blurred',),
         donate_argnames=('memory',) if config.donate_memory else ())
-    self._jit_call = jax.jit(self._forward,
-                             static_argnames=('num_frames', 'feed'))
-    self._jit_trajectory = jax.jit(self._trajectory_forward,
-                                   static_argnames=('start_frames',),
-                                   donate_argnames=donate)
-    self._jit_poses = jax.jit(self._poses_forward,
-                              static_argnames=('num_frames',))
+    self._jit_call = jax.jit(
+        self._forward, static_argnames=('num_frames', 'feed', 'sem_frames'))
+    self._jit_trajectory = jax.jit(
+        self._trajectory_forward,
+        static_argnames=('start_frames', 'sem_frames'),
+        donate_argnames=donate)
+    self._jit_poses = jax.jit(
+        self._poses_forward, static_argnames=('num_frames', 'sem_frames'))
     self._jit_step = jax.jit(
         self._step_forward,
-        static_argnames=('num_frames', 'use_projected_rgb'),
+        static_argnames=('num_frames', 'use_projected_rgb', 'sem_frames'),
         donate_argnames=donate)
     self.reset_memory()
 
@@ -432,10 +433,27 @@ class SE3DSModel:
     # write slot). Equal until the first ring wrap.
     self._frames_written = 0
     self._total_frames = 0
+    # Per-slot host bookkeeping: True where the slot holds REAL semantics
+    # (written by add_to_memory). Predicted frames write all-void
+    # semantics (pred_semantic == 0 == the void class), so their slots
+    # stay False and the semantic splat statically skips them
+    # (_live_memory sem_frames) — bit-exact, and the semantic scatter
+    # cost stops growing with trajectory length.
+    self._sem_real = [False] * self.config.memory_frames
 
   def _next_write_slot(self) -> int:
     """Frame slot the next write lands in (wraps in ring mode)."""
     return self._total_frames % self.config.memory_frames
+
+  def _sem_frames_live(self) -> int:
+    """Static semantic-cloud extent: 1 + the highest slot holding real
+    semantics (0 when none — _live_memory clamps to one void frame,
+    which splats to an all-void image, exactly as the full extent
+    would). Slots holding predicted frames inside the extent are void
+    and splat-skipped either way; only the BOUND must cover every real
+    slot."""
+    real = [i for i, r in enumerate(self._sem_real) if r]
+    return (max(real) + 1) if real else 0
 
   def _count_frames(self, new_frames: int = 1):
     self._total_frames += new_frames
@@ -477,6 +495,12 @@ class SE3DSModel:
         self.config.memory_frames,
         -(-int(np.asarray(state.cursor)) // frame_points))
     self._total_frames = self._frames_written
+    # A restored state carries no per-slot provenance: conservatively
+    # treat every written slot as holding real semantics (exact — the
+    # semantic splat merely loses the predicted-frame elision until
+    # those slots are overwritten).
+    self._sem_real = [i < self._frames_written
+                      for i in range(self.config.memory_frames)]
 
   def write_memory_as_pointcloud(self, filename: str):
     """Writes valid RGB memory points of batch 0 to an ASCII .ply file."""
@@ -526,11 +550,12 @@ class SE3DSModel:
     self._check_memory_capacity()
     pano_rgb = jnp.asarray(pano_rgb)
     self.prev_rgb_frame = (pano_rgb / 255).astype(jnp.float32)
+    slot = self._next_write_slot()
     self._memory = self._jit_add(
         self._memory, pano_rgb, jnp.asarray(pano_semantic),
         jnp.asarray(pano_depth), jnp.asarray(position),
-        mask_blurred=mask_blurred,
-        write_slot=jnp.int32(self._next_write_slot()))
+        mask_blurred=mask_blurred, write_slot=jnp.int32(slot))
+    self._sem_real[slot] = True
     self._count_frames()
 
   # -- forward --------------------------------------------------------------
@@ -541,6 +566,14 @@ class SE3DSModel:
     log2 instead of linear (each compile costs minutes on relay
     backends)."""
     return 1 << max(0, n - 1).bit_length()
+
+  def _sem_bucket(self) -> int:
+    """Pow2-bucketed semantic extent for the host-dispatched (read/step)
+    programs — like the frame bucket, any extent >= the real-semantics
+    extent is exact (the extra frames are void and splat-skipped), and
+    bucketing bounds compile variants at log2."""
+    return min(self._pow2_bucket(max(1, self._sem_frames_live())),
+               self.config.memory_frames)
 
   @staticmethod
   def _to_output_data(out, slice_to: Optional[int] = None) -> OutputData:
@@ -558,32 +591,51 @@ class SE3DSModel:
         logvar=cut(out['logvar']),
         proj_mask=cut(out['proj_mask']))
 
-  def _live_memory(self, memory: MemoryState, num_frames: int) -> MemoryState:
+  def _live_memory(self, memory: MemoryState, num_frames: int,
+                   sem_frames: Optional[int] = None) -> MemoryState:
     """Statically slices memory to the written extent (exact: the tail
-    is void slots the splat skips anyway)."""
+    is void slots the splat skips anyway).
+
+    `sem_frames` (default: `num_frames`) bounds the SEMANTIC cloud
+    separately: predicted frames feed `pred_semantic == 0` into memory
+    (the release generator's seg head is all-zero, see _forward) and
+    class 0 IS the void sentinel (constants.INVALID_SEM_VALUE), so
+    every point of a predicted frame fails the splat validity test
+    (`feats != input_void_class`, ops/splat.pixel_coords). Slicing those
+    frames off statically is bit-exact and removes their scatter cost —
+    in a trajectory the semantic splat stays proportional to the
+    OBSERVED frames instead of growing with every predicted frame
+    (reference equivalent: those rows scatter-and-drop every frame,
+    point_cloud_utils.py:146-148)."""
     extent_frames = max(1, min(num_frames, self.config.memory_frames))
     extent = extent_frames * self.height * self.width
+    sem_extent_frames = (extent_frames if sem_frames is None
+                         else max(1, min(sem_frames, extent_frames)))
+    sem_extent = sem_extent_frames * self.height * self.width
     # The RGB cloud may be pole-compacted (fewer points per frame);
     # derive its frame stride from the buffer itself so the slice stays
     # correct for either layout.
     rgb_extent = extent_frames * (
         memory.rgb_coords.shape[-1] // self.config.memory_frames)
     return MemoryState(
-        coords=memory.coords[:, :, :extent],
-        feats=memory.feats[:, :extent],
+        coords=memory.coords[:, :, :sem_extent],
+        feats=memory.feats[:, :sem_extent],
         rgb_coords=memory.rgb_coords[:, :, :rgb_extent],
         rgb=memory.rgb[:, :rgb_extent],
         cursor=memory.cursor)
 
   def _forward(self, variables, memory: MemoryState, prev_rgb_frame,
-               position, num_frames: int, feed: bool = False):
+               position, num_frames: int, feed: bool = False,
+               sem_frames: Optional[int] = None):
     # Live-extent splat: only `num_frames` frames of memory have ever
     # been written (host-side counter); the remaining capacity is void
     # slots the splat would skip anyway, so slicing them off is exact
     # and makes splat cost proportional to frames-so-far instead of
     # full capacity. `num_frames` is static (one compile per distinct
-    # frame count, <= memory_frames).
-    live = self._live_memory(memory, num_frames)
+    # frame count, <= memory_frames). `sem_frames` additionally bounds
+    # the semantic cloud to the frames holding REAL semantics (predicted
+    # frames are statically all-void there; see _live_memory).
+    live = self._live_memory(memory, num_frames, sem_frames)
     proj_semantic, proj_depth, proj_rgb, proj_mask = memory_project(
         live, position, self.height, self.width, self.depth_scale,
         splat_mode=self.config.splat_mode,
@@ -652,7 +704,8 @@ class SE3DSModel:
 
   def _step_forward(self, variables, memory: MemoryState, prev_rgb_frame,
                     position, write_slot, num_frames: int,
-                    use_projected_rgb: bool = False):
+                    use_projected_rgb: bool = False,
+                    sem_frames: Optional[int] = None):
     """One feedback frame — splat -> generate -> unproject -> memory
     write — in ONE traced program. The per-frame sibling of
     `_trajectory_forward` (which chains it T times): the ~28 MB of
@@ -662,7 +715,8 @@ class SE3DSModel:
     Returns (lean output dict, new memory, new prev_rgb_frame).
     """
     out = self._forward(variables, memory, prev_rgb_frame, position,
-                        num_frames=num_frames, feed=True)
+                        num_frames=num_frames, feed=True,
+                        sem_frames=sem_frames)
     # The memory feed is always the generator's raw outputs, independent
     # of use_projected_rgb (reference models.py:335-347).
     new_memory = memory_add_pano(
@@ -686,10 +740,12 @@ class SE3DSModel:
 
   def _trajectory_forward(self, variables, memory: MemoryState,
                           prev_rgb_frame, positions, start_slot,
-                          start_frames: int):
+                          start_frames: int, sem_frames: int):
     """T autoregressive frames in ONE traced program (see
     predict_trajectory). `start_slot` is traced (ring wrap positions add
-    no compile variants); `start_frames` is static (live extents)."""
+    no compile variants); `start_frames`/`sem_frames` are static (live
+    extents — `sem_frames` stays CONSTANT across the trajectory because
+    predicted frames never extend the real-semantics extent)."""
     num_frames = positions.shape[0]
     cap = self.config.memory_frames
     per_frame = []
@@ -700,7 +756,8 @@ class SE3DSModel:
       lean, memory, prev_rgb_frame = self._step_forward(
           variables, memory, prev_rgb_frame, positions[t],
           write_slot=(start_slot + t) % cap,
-          num_frames=max(1, min(start_frames + t, cap)))
+          num_frames=max(1, min(start_frames + t, cap)),
+          sem_frames=sem_frames)
       per_frame.append(lean)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_frame)
     return stacked, memory, prev_rgb_frame
@@ -745,17 +802,28 @@ class SE3DSModel:
           f'({self._frames_written} written, {self.config.memory_frames} '
           'total). Increase SE3DSConfig.memory_frames, reset_memory(), or '
           "use memory_mode='ring' for unbounded streaming.")
+    start_slot = self._next_write_slot()
+    # Exact (unbucketed) semantic extent: the trajectory is one compile
+    # anyway. Predicted frames only ever turn slots void, so the extent
+    # computed BEFORE the trajectory stays a valid bound for every frame
+    # inside it, even across ring wraps onto real slots.
     out, new_memory, new_prev = self._jit_trajectory(
         self.variables, self._memory, self.prev_rgb_frame, positions,
-        jnp.int32(self._next_write_slot()),
-        start_frames=self._frames_written)
+        jnp.int32(start_slot),
+        start_frames=self._frames_written,
+        sem_frames=min(max(1, self._sem_frames_live()),
+                       self.config.memory_frames))
     self._memory = new_memory
     self.prev_rgb_frame = new_prev
+    cap = self.config.memory_frames
+    for t in range(num_frames):
+      self._sem_real[(start_slot + t) % cap] = False
     self._count_frames(num_frames)
     return self._to_output_data(out)
 
   def _poses_forward(self, variables, memory: MemoryState, prev_rgb_frame,
-                     positions, num_frames: int):
+                     positions, num_frames: int,
+                     sem_frames: Optional[int] = None):
     """K read-only forwards against ONE scene's memory (see
     predict_poses). The broadcast happens inside jit: XLA fuses it into
     the per-pose coordinate subtraction the splat needs anyway, so the
@@ -805,7 +873,8 @@ class SE3DSModel:
     frame_bucket = self._pow2_bucket(max(1, self._frames_written))
     out = self._jit_poses(
         self.variables, self._memory, self.prev_rgb_frame, positions,
-        num_frames=min(frame_bucket, self.config.memory_frames))
+        num_frames=min(frame_bucket, self.config.memory_frames),
+        sem_frames=self._sem_bucket())
     return self._to_output_data(out, slice_to=k)
 
   def __call__(self, position, add_preds_to_memory: bool = False,
@@ -829,18 +898,22 @@ class SE3DSModel:
     # memory_frames — each compile costs minutes on relay backends.
     bucket = self._pow2_bucket(max(1, self._frames_written))
     num_frames = min(bucket, self.config.memory_frames)
+    sem_frames = self._sem_bucket()
     if add_preds_to_memory:
       # Fused feedback step: forward + memory write in one program (the
       # feed tensors never leave the device; one dispatch, not two).
       self._check_memory_capacity()
+      slot = self._next_write_slot()
       out, new_memory, new_prev = self._jit_step(
           self.variables, self._memory, self.prev_rgb_frame, position,
-          jnp.int32(self._next_write_slot()),
-          num_frames=num_frames, use_projected_rgb=use_projected_rgb)
+          jnp.int32(slot), num_frames=num_frames,
+          use_projected_rgb=use_projected_rgb, sem_frames=sem_frames)
       self._memory = new_memory
       self.prev_rgb_frame = new_prev
+      self._sem_real[slot] = False  # predicted semantics are all-void
       self._count_frames()
       return self._to_output_data(out)
     out = self._jit_call(self.variables, self._memory, self.prev_rgb_frame,
-                         position, num_frames=num_frames, feed=False)
+                         position, num_frames=num_frames, feed=False,
+                         sem_frames=sem_frames)
     return self._to_output_data(out)

@@ -136,12 +136,68 @@ def test_live_extent_splat_matches_full_capacity():
   out_live = model(target)
   assert model._frames_written == 1
   model._frames_written = config.memory_frames  # force full-capacity path
+  # Also force the full-capacity SEMANTIC cloud (the real-semantics
+  # elision would otherwise keep it at one frame).
+  model._sem_real = [True] * config.memory_frames
   out_full = model(target)
 
   for field in out_live._fields:
     a, b = getattr(out_live, field), getattr(out_full, field)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                   err_msg=field)
+
+
+def test_predicted_frame_semantic_elision_bit_exact():
+  """Predicted frames write pred_semantic == 0 (the void class) into
+  memory, so the semantic splat statically skips their slots
+  (_live_memory sem_frames). Forcing those slots back INTO the splat
+  must change nothing, on every output, at every step — the elided
+  points are void and the z-buffer drops them anyway."""
+  config = model_config.get_test_config()
+  # Both models init from the default PRNGKey(0): identical weights
+  # (passing model.variables would hand the control pre-folded kernels,
+  # which its own folding pass cannot consume).
+  model = inference.SE3DSModel(config)
+  control = inference.SE3DSModel(config)
+  rng = np.random.RandomState(5)
+  h, w = config.image_height, config.image_height * 2
+  rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.int32)
+  sem = rng.randint(0, 42, (1, h, w, 1)).astype(np.int32)
+  depth = rng.uniform(0.05, 0.9, (1, h, w)).astype(np.float32)
+  pos = np.zeros((1, 3), np.float32)
+  steps = [np.array([[0.3, 0.1, 0.0]], np.float32),
+           np.array([[0.5, -0.2, 0.0]], np.float32),
+           np.array([[-0.2, 0.4, 0.0]], np.float32)]
+
+  def assert_same(a, b, ctx):
+    for field in a._fields:
+      np.testing.assert_array_equal(
+          np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+          err_msg=f'{ctx}/{field}')
+
+  for m in (model, control):
+    m.add_to_memory(rgb, sem, depth, pos)
+
+  def force_full(m):
+    # Defeat the elision: pretend every written slot holds real
+    # semantics, so the splat covers the full live extent as before.
+    m._sem_real = [i < m._frames_written
+                   for i in range(config.memory_frames)]
+
+  for i, target in enumerate(steps[:2]):
+    force_full(control)
+    assert_same(model(target, add_preds_to_memory=True),
+                control(target, add_preds_to_memory=True), f'step{i}')
+  # The optimised model tracked exactly one real-semantics frame while
+  # the control covered all written frames.
+  assert model._sem_frames_live() == 1
+  assert model._frames_written == 3
+  force_full(control)
+  assert_same(model(steps[2]), control(steps[2]), 'readonly')
+
+  # Restored states carry no provenance: conservatively all-real.
+  model.set_memory_state(control.get_memory_state())
+  assert model._sem_frames_live() == model._frames_written
 
 
 def test_memory_overflow_raises():
