@@ -154,7 +154,8 @@ def bench_train():
 def bench_eval():
   """FID-eval rollout throughput: autoregressive memory/splat/generate
   loop + on-device Inception pooling (the continuous-eval hot path,
-  reference eval_metric.py:144-252), exact 'sorted' splat, lowres shapes.
+  reference eval_metric.py:144-252), exact 'pallas_exact' splat (the
+  trainer's eval default; SE3DS_BENCH_SPLAT overrides), lowres shapes.
 
   Env: SE3DS_BENCH_SIZE (default 128), SE3DS_BENCH_BATCH (default 8),
   SE3DS_BENCH_FRAMES (eval_seq_len, default 5), SE3DS_BENCH_GENDIMS

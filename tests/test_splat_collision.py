@@ -13,7 +13,9 @@ selection. Key measured facts this suite keeps true:
   'fast' (bucketed window), and both stay under documented bounds.
 * The residual deviation is the reference's per-channel max — a
   channel-mixing rule (point_cloud_utils.py:173-176) that only the
-  exact 'scatter'/'sorted' modes reproduce; eval uses 'sorted'.
+  exact modes ('scatter'/'sorted'/'sorted_packed'/'pallas_exact')
+  reproduce; eval uses the fastest exact mode ('pallas_exact',
+  degrading to 'scatter' off-TPU).
 """
 
 import sys
