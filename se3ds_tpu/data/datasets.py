@@ -319,10 +319,12 @@ class R2RImageDataset(BaseDataset):
                pad_minval: float = -0.05,
                pad_maxval: float = 0.1,
                re_10k_crop: bool = False,
+               num_examples_override: Optional[Dict[str, int]] = None,
                **kwargs):
     super().__init__(image_size=image_size, z_dim=z_dim,
                      num_classes=num_classes, **kwargs)
     self.data_dir = data_dir
+    self.num_examples_override = num_examples_override
     self.return_filename = return_filename
     self.preprocessed_image_height = preprocessed_image_height
     self.horizontal_mask_ratio = horizontal_mask_ratio
@@ -550,6 +552,10 @@ class R2RImageDataset(BaseDataset):
 
   @property
   def num_examples(self):
+    # Hardcoded counts mirror the reference (indoor_datasets.py); the
+    # override is a test/gin knob for short epochs on fixture data.
+    if self.num_examples_override is not None:
+      return self.num_examples_override
     return {'train': 183_621, 'val': 4671}
 
 

@@ -118,6 +118,49 @@ def wrap_width(x: jnp.ndarray, margin: int) -> jnp.ndarray:
   return jnp.take(x, jnp.asarray(idx), axis=2)
 
 
+def mask_window_sum(mask: jnp.ndarray, kh: int, kw: int, strides,
+                    fused_pad: int = 0, circular: bool = False,
+                    train: bool = False, prewrapped: bool = False,
+                    padding: str = 'SAME') -> jnp.ndarray:
+  """Window-sum of a 0/1 mask — the partial-conv mask propagation
+  (reference layers.py:152-163) without the ones-kernel convolution.
+
+  Bit-exact replacement for `conv(mask, ones(kh, kw, 1, 1))` on binary
+  masks: every partial sum is an integer <= kh*kw <= 49, exactly
+  representable even in bf16, so the result is independent of the
+  reduction association. 1x1 kernels are the (strided) identity; k > 1
+  rides `lax.reduce_window(add)`, which lowers to the VPU instead of
+  wasting the 128x128 MXU on a 1-in/1-out-channel conv. Measured at the
+  production encoder shapes in scripts/bench_mask_conv.py; padding
+  semantics mirror `circular_conv2d` (fused path) / `_conv2d` (TF-style
+  padding string).
+  """
+  sh, sw = _to_pair(strides)
+  if kh == 1 and kw == 1 and fused_pad == 0:
+    # A 1x1 ones-conv is the identity; SAME/VALID 1x1 pads nothing, so
+    # striding is a plain subsample.
+    return mask if (sh == 1 and sw == 1) else mask[:, ::sh, ::sw, :]
+
+  def rw(x, hpad, wpad):
+    return jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        window_dimensions=(1, kh, kw, 1), window_strides=(1, sh, sw, 1),
+        padding=((0, 0), hpad, wpad, (0, 0)))
+
+  if fused_pad:
+    p = fused_pad
+    if prewrapped:
+      # Input already carries a wrapped width margin: pad height only.
+      return rw(mask, (p, p), (0, 0))
+    if circular and not train and p > 0:
+      return rw(pad2d(mask, p, circular_pad=True, train=False),
+                (0, 0), (0, 0))
+    return rw(mask, (p, p), (p, p))
+  pads = jax.lax.padtype_to_pads(
+      mask.shape, (1, kh, kw, 1), (1, sh, sw, 1), padding.upper())
+  return rw(mask, tuple(pads[1]), tuple(pads[2]))
+
+
 def circular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, strides,
                     pad: int, circular: bool, train: bool,
                     border_fixup: bool = False,
@@ -299,14 +342,13 @@ class PartialConv(nn.Module):
 
     eps = 1e-6
     slide_window_size = kh * kw * 1
-    mask_kernel = jnp.ones((kh, kw, 1, 1), feature.dtype)
-    if self.fused_pad:
-      update_mask = circular_conv2d(mask, mask_kernel, self.strides,
-                                    self.fused_pad, self.circular, train,
-                                    prewrapped=prewrapped)
-    else:
-      update_mask = _conv2d(mask, mask_kernel, self.strides,
-                            self.padding.upper())
+    # Window-sum instead of a ones-kernel conv: bit-exact on the 0/1
+    # masks this layer propagates, and off the MXU (see mask_window_sum).
+    update_mask = mask_window_sum(mask, kh, kw, self.strides,
+                                  fused_pad=self.fused_pad,
+                                  circular=self.circular, train=train,
+                                  prewrapped=prewrapped,
+                                  padding=self.padding)
     mask_ratio = slide_window_size / (update_mask + eps)
     update_mask = jnp.clip(update_mask, 0.0, 1.0)
     mask_ratio = mask_ratio * update_mask

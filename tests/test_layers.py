@@ -39,6 +39,43 @@ def test_pad2d_symmetric():
   np.testing.assert_array_equal(out, expected)
 
 
+@pytest.mark.parametrize('kh,kw,strides,fused_pad,circular,train,prewrapped,padding', [
+    (1, 1, 1, 0, False, False, False, 'SAME'),    # bottleneck conv1/conv3
+    (1, 1, 2, 0, False, False, False, 'SAME'),    # strided downsample 1x1
+    (3, 3, 1, 1, True, False, True, 'SAME'),      # prewrapped eval 3x3
+    (3, 3, 1, 1, True, False, False, 'SAME'),     # circular eval 3x3
+    (3, 3, 2, 1, True, True, False, 'SAME'),      # train 3x3 s2 (zero pad)
+    (7, 7, 2, 3, True, False, False, 'SAME'),     # stem 7x7 s2 circular
+    (7, 7, 2, 3, True, True, False, 'SAME'),      # stem 7x7 s2 train
+    (3, 3, 1, 0, False, False, False, 'SAME'),    # non-fused SAME path
+    (3, 3, 2, 0, False, False, False, 'SAME'),    # non-fused SAME s2
+    (3, 3, 1, 0, False, False, False, 'VALID'),   # non-fused VALID path
+])
+def test_mask_window_sum_equals_ones_conv(kh, kw, strides, fused_pad,
+                                          circular, train, prewrapped,
+                                          padding):
+  """mask_window_sum must be BITWISE equal to the ones-kernel conv it
+  replaces (reference layers.py:152-163) on 0/1 masks, for every padding
+  path PartialConv exercises. Sums of 0/1s are small exact integers, so
+  equality is exact, not approximate — do not loosen."""
+  rng = np.random.default_rng(42)
+  mask = jnp.asarray(
+      (rng.random((2, 12, 16, 1)) > 0.4).astype(np.float32))
+  if prewrapped:
+    mask = layers.wrap_width(mask, fused_pad)
+  kernel = jnp.ones((kh, kw, 1, 1), mask.dtype)
+  if fused_pad:
+    ref = layers.circular_conv2d(mask, kernel, strides, fused_pad,
+                                 circular, train, prewrapped=prewrapped)
+  else:
+    ref = layers._conv2d(mask, kernel, strides, padding.upper())
+  got = layers.mask_window_sum(mask, kh, kw, strides, fused_pad=fused_pad,
+                               circular=circular, train=train,
+                               prewrapped=prewrapped, padding=padding)
+  assert got.shape == ref.shape
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_partial_conv_equals_plain_conv_without_mask():
   """PartialConv with a full mask reduces to a plain convolution wherever
   the sliding window is fully covered (everywhere, with VALID padding)."""

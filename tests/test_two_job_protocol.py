@@ -43,22 +43,16 @@ def model_dir(workdir):
       [os.path.join(repo, 'configs', 'tiny_test.gin')],
       [f"R2RImageDataset.data_dir = '{workdir}/data/'",
        f"R2RVideoDataset.data_dir = '{workdir}/data/'",
-       'GAN.num_epochs = 1'])
+       'GAN.num_epochs = 1',
+       # num_examples is hardcoded to the reference's 183,621 (parity),
+       # which would make one epoch ~46k steps; pin a 16-example epoch:
+       # 16 / (batch 2 * 2 d-steps) = 4 steps, save_every_steps=2 ->
+       # checkpoints at steps 2 and 4 (the train pipeline repeats, so
+       # the 8-record fixture serves 16 examples fine).
+       "R2RImageDataset.num_examples_override = {'train': 16, 'val': 4}"])
   model_dir = str(workdir / 'model')
   trainer = config_lib.apply_config('GAN', model_dir=model_dir)
-  # num_examples is hardcoded to the reference's 183,621 (parity), which
-  # would make one epoch ~46k steps; pin a 16-example epoch instead:
-  # 16 / (batch 2 * 2 d-steps) = 4 steps, save_every_steps=2 ->
-  # checkpoints at steps 2 and 4 (the train pipeline repeats, so the
-  # 8-record fixture serves 16 examples fine).
-  from se3ds_tpu.data import datasets as ds_lib
-  orig = ds_lib.R2RImageDataset.num_examples
-  ds_lib.R2RImageDataset.num_examples = property(
-      lambda self: {'train': 16, 'val': 4})
-  try:
-    state = trainer.train()
-  finally:
-    ds_lib.R2RImageDataset.num_examples = orig
+  state = trainer.train()
   assert int(state.step) == 4
   return model_dir
 
