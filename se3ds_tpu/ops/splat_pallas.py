@@ -17,18 +17,19 @@ windows (sorted order) except at boundaries, so the total number of
 row-iterations is <= num_rows + num_chunks for ANY point distribution.
 
 MEASURED (v5e via relay, 1M points -> 1024x512, scripts/
-bench_splat_modes.py): pallas 20.7 ms vs 'fast' packed-scatter 15.9 ms
-vs exact 'scatter' 35.8 ms. Breakdown: 1-key/2-payload lax.sort 9.0 ms
-(single-key is 6.8 — payloads are expensive), kernel 9.2 ms
-(~1.5 us/row-iteration across 6144 iterations — dominated by loop/
-dynamic-store overhead, not VPU element throughput; hoisting the
-lane-select out of the row loop took it from 10.5, CHUNK=1024 made it
-worse). The round-2 ~10 ms estimate assumed the sort was ~2 ms and the
-masked reduction ran at element-throughput; neither holds on this
-hardware, so 'fast' remains the default splat. The kernel stays as
-working, tested infrastructure: it IS the right shape if a cheaper
-binning pass replaces lax.sort, and it now compiles on this toolchain
-(the round-2 blockers are gone — see below).
+bench_splat_modes.py): pallas 20.5 ms vs 'fast' packed-scatter 15.9 ms
+vs exact 'scatter' 35.8 ms. The round-2 ~10 ms estimate assumed the
+sort was ~2 ms and the masked reduction ran at element-throughput;
+neither holds on this hardware, so 'fast' remains the default splat.
+Round 4 additionally falsified the "loop/dynamic-store overhead"
+theory of the walk's cost: folding 8 aligned rows per loop iteration
+(static unroll, one (8, 128) store per accumulator — `rows_per_block`)
+cut iterations ~2.4x and dynamic stores 8x yet measured 20.5 -> 20.5 ms
+(exact kernel 27.7 -> 26.7) — the walk is VPU-work-bound, and blocking
+trades overhead for redundant row reductions one-for-one. The kernels
+stay as working, tested infrastructure (bit-identity re-proven on
+device after the rewrite); see PERF.md "Row-block kernel walk" for the
+full negative-result record.
 
 Semantics match `splat.project_to_feat_fast`: exact f32 min-depth buffer
 plus a packed (inverted depth bucket | feature bytes) uint32 winner per
@@ -73,11 +74,19 @@ _LANES = 128
 # Resident VMEM for the two accumulators is num_pixels * 8 bytes; cap so
 # the kernel + double-buffered input stream stays well under ~16 MB.
 _MAX_VMEM_PIXELS = 1536 * 1024
+# Aligned rows folded per loop iteration (8 = one f32 sublane tile).
+_ROW_BLOCK = 8
+
+
+def _rows_per_block(num_rows: int) -> int:
+  """Row-block width for the kernel walk: 8 when the image is 8-row
+  alignable (every production pano is), else the per-row path."""
+  return _ROW_BLOCK if num_rows % _ROW_BLOCK == 0 else 1
 
 
 def _splat_kernel(flat_ref, depth_ref, packed_ref,  # (1, CHUNK, 1) in VMEM
                   zbuf_ref, pbuf_ref,  # (1, ROWS, 128) resident outputs
-                  *, depth_scale: float, num_rows: int):
+                  *, depth_scale: float, num_rows: int, rows_per_block: int):
   # Note: packed values are carried as *sign-flipped int32* (u32 ^ 2^31)
   # because Mosaic has no unsigned reductions; i32 max on the flipped
   # values == u32 max on the originals.
@@ -112,21 +121,40 @@ def _splat_kernel(flat_ref, depth_ref, packed_ref,  # (1, CHUNK, 1) in VMEM
   row_last = jnp.max(
       jnp.where(flat < num_rows * _LANES, rows_pt, -1))
 
-  def body(r, _):
-    rmask = rows_pt == r  # (CHUNK, 1), broadcasts over lanes
-    zc = jnp.min(
-        jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
-        axis=0, keepdims=True)  # (1, 128)
-    pc = jnp.max(
-        jnp.where(rmask, psel, jnp.asarray(-(2**31), jnp.int32)),
-        axis=0, keepdims=True)
-    zbuf_ref[0, pl.ds(r, 1), :] = jnp.minimum(zbuf_ref[0, pl.ds(r, 1), :],
-                                              zc)
-    pbuf_ref[0, pl.ds(r, 1), :] = jnp.maximum(pbuf_ref[0, pl.ds(r, 1), :],
-                                              pc)
+  # Row-BLOCK walk (round 4): the per-row loop was overhead-bound
+  # (~1.5 us/iteration of loop + (1, 128) dynamic-store cost, not VPU
+  # throughput — PERF.md), so the loop now advances `rows_per_block`
+  # ALIGNED rows at a time: W statically-unrolled masked reductions per
+  # iteration and ONE (W, 128) read-modify-write store per accumulator.
+  # Iterations drop from rows_touched + chunks to rows_touched/W +
+  # chunks; rows in the block the chunk doesn't touch reduce to the
+  # identity and the min/max merge leaves them unchanged (exactness is
+  # untouched — the same per-row reductions run, just batched).
+  W = rows_per_block
+
+  def body(rb, _):
+    base = rb * W
+    zrows = []
+    prows = []
+    for dr in range(W):
+      rmask = rows_pt == (base + dr)
+      zrows.append(jnp.min(
+          jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
+          axis=0, keepdims=True))
+      prows.append(jnp.max(
+          jnp.where(rmask, psel, jnp.asarray(-(2**31), jnp.int32)),
+          axis=0, keepdims=True))
+    zblk = zrows[0] if W == 1 else jnp.concatenate(zrows, axis=0)
+    pblk = prows[0] if W == 1 else jnp.concatenate(prows, axis=0)
+    zbuf_ref[0, pl.ds(base, W), :] = jnp.minimum(
+        zbuf_ref[0, pl.ds(base, W), :], zblk)
+    pbuf_ref[0, pl.ds(base, W), :] = jnp.maximum(
+        pbuf_ref[0, pl.ds(base, W), :], pblk)
     return 0
 
-  jax.lax.fori_loop(row_first, jnp.minimum(row_last + 1, num_rows), body, 0,
+  # row_last == -1 (all-sentinel chunk) gives hi = 0 <= lo: zero
+  # iterations, as before.
+  jax.lax.fori_loop(row_first // W, row_last // W + 1, body, 0,
                     unroll=False)
 
 
@@ -151,7 +179,8 @@ def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
                                     memory_space=pltpu.VMEM)
   zbuf, pbuf = pl.pallas_call(
       functools.partial(_splat_kernel, depth_scale=depth_scale,
-                        num_rows=num_rows),
+                        num_rows=num_rows,
+                        rows_per_block=_rows_per_block(num_rows)),
       grid=grid,
       in_specs=[point_spec(), point_spec(), point_spec()],
       out_specs=[
@@ -175,7 +204,7 @@ def _splat_sorted_points(sflat, sdepth, spacked, num_pixels: int,
 def _exact_splat_kernel(flat_ref, cdepth_ref, rdepth_ref, packed_ref,
                         zbuf_ref, *fbuf_refs,
                         depth_scale: float, num_rows: int, channels: int,
-                        output_void_class: float):
+                        output_void_class: float, rows_per_block: int):
   """Exact-window segmented reduction over (pixel, depth)-sorted points.
 
   Reference semantics (point_cloud_utils.py:157-176) in ONE streaming
@@ -215,24 +244,39 @@ def _exact_splat_kernel(flat_ref, cdepth_ref, rdepth_ref, packed_ref,
   row_last = jnp.max(jnp.where(flat < num_rows * _LANES, rows_pt, -1))
   tol = jnp.float32(splat_lib.DEPTH_COLLISION_TOLERANCE)
 
-  def body(r, _):
-    rmask = rows_pt == r  # (CHUNK, 1)
-    zc = jnp.min(
-        jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
-        axis=0, keepdims=True)  # (1, 128)
-    newz = jnp.minimum(zbuf_ref[0, pl.ds(r, 1), :], zc)
-    zbuf_ref[0, pl.ds(r, 1), :] = newz
-    # newz IS the final per-pixel minimum for every pixel this chunk
-    # touches in row r (sorted order: the min point came first), so the
-    # reference window test `raw depth < min + 0.1` is exact here.
-    win = col_eq & rmask & (rdepth < newz + tol)  # (CHUNK, 128)
+  # Row-BLOCK walk (round 4, see _splat_kernel): W aligned rows per
+  # iteration, statically unrolled, one (W, 128) read-modify-write per
+  # accumulator. Same per-row math — exactness is untouched.
+  W = rows_per_block
+
+  def body(rb, _):
+    base = rb * W
+    zblk_old = zbuf_ref[0, pl.ds(base, W), :]  # (W, 128)
+    zrows = []
+    frows = [[] for _ in range(channels)]
+    for dr in range(W):
+      rmask = rows_pt == (base + dr)
+      zc = jnp.min(
+          jnp.where(rmask, zsel, jnp.asarray(depth_scale, jnp.float32)),
+          axis=0, keepdims=True)  # (1, 128)
+      newz = jnp.minimum(zblk_old[dr:dr + 1, :], zc)
+      zrows.append(newz)
+      # newz IS the final per-pixel minimum for every pixel this chunk
+      # touches in this row (sorted order: the min point came first), so
+      # the reference window test `raw depth < min + 0.1` is exact here.
+      win = col_eq & rmask & (rdepth < newz + tol)  # (CHUNK, 128)
+      for c in range(channels):
+        frows[c].append(
+            jnp.max(jnp.where(win, feat_pt[c], neg), axis=0, keepdims=True))
+    zbuf_ref[0, pl.ds(base, W), :] = (
+        zrows[0] if W == 1 else jnp.concatenate(zrows, axis=0))
     for c in range(channels):
-      fc = jnp.max(jnp.where(win, feat_pt[c], neg), axis=0, keepdims=True)
-      fbuf_refs[c][0, pl.ds(r, 1), :] = jnp.maximum(
-          fbuf_refs[c][0, pl.ds(r, 1), :], fc)
+      fblk = frows[c][0] if W == 1 else jnp.concatenate(frows[c], axis=0)
+      fbuf_refs[c][0, pl.ds(base, W), :] = jnp.maximum(
+          fbuf_refs[c][0, pl.ds(base, W), :], fblk)
     return 0
 
-  jax.lax.fori_loop(row_first, jnp.minimum(row_last + 1, num_rows), body, 0,
+  jax.lax.fori_loop(row_first // W, row_last // W + 1, body, 0,
                     unroll=False)
 
 
@@ -257,7 +301,8 @@ def _exact_splat_sorted_points(sflat, scdepth, srdepth, spacked,
   out = pl.pallas_call(
       functools.partial(_exact_splat_kernel, depth_scale=depth_scale,
                         num_rows=num_rows, channels=channels,
-                        output_void_class=output_void_class),
+                        output_void_class=output_void_class,
+                        rows_per_block=_rows_per_block(num_rows)),
       grid=grid,
       in_specs=[point_spec() for _ in range(4)],
       out_specs=[acc_spec() for _ in range(1 + channels)],

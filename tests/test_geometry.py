@@ -367,6 +367,35 @@ def test_pallas_exact_splat_per_channel_max_window():
   np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd))
 
 
+def test_pallas_splat_sparse_cloud_spans_row_blocks():
+  """Sparse cloud (fewer points than image rows): a single sorted chunk
+  spans MANY aligned row blocks, so one kernel invocation walks the
+  whole multi-block range (the row-block loop's worst case — the dense
+  tests above only ever span 2-3 rows per chunk). Both kernels must
+  stay bit-identical to their XLA references."""
+  from se3ds_tpu.ops import splat_pallas
+  rng = np.random.RandomState(7)
+  coords = rng.uniform(-6, 6, (1, 4, 90)).astype(np.float32)
+  coords[:, 3] = 1.0
+  feats = rng.randint(-1, 256, (1, 90, 3)).astype(np.float32)
+  pd1, pf1 = splat.project_to_feat_fast(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0)
+  pd2, pf2 = splat_pallas.project_to_feat_pallas(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd1), np.asarray(pd2))
+  np.testing.assert_array_equal(np.asarray(pf1), np.asarray(pf2))
+  pd3, pf3 = splat.project_to_feat(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0)
+  pd4, pf4 = splat_pallas.project_to_feat_pallas_exact(
+      jnp.asarray(coords), jnp.asarray(feats), 32, 64,
+      depth_scale=20.0, input_void_class=-1.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(pd3), np.asarray(pd4))
+  np.testing.assert_array_equal(np.asarray(pf3), np.asarray(pf4))
+
+
 def test_pallas_exact_splat_scalar_feats_and_empty():
   """Scalar (semantic) feature path + the empty-cloud fallback."""
   from se3ds_tpu.ops import splat_pallas
