@@ -373,8 +373,9 @@ def bench_trajectory():
   # Every run DONATES the restored buffers (in-place memory writes), so
   # each timed iteration needs its own snapshot; copy them OUTSIDE the
   # timing loop so restore is a pointer swap, not a device copy.
-  snapshots = [(jax.tree.map(jnp.copy, mem0), jnp.copy(prev0))
-               for _ in range(iters)]
+  def make_snapshots():
+    return [(jax.tree.map(jnp.copy, mem0), jnp.copy(prev0))
+            for _ in range(iters)]
 
   # SE3DS_BENCH_SEM_ELIDE=0 defeats the real-semantics elision (the
   # semantic splat then covers the full live extent every frame, as if
@@ -410,13 +411,30 @@ def bench_trajectory():
   _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
   fetch_latency = time.perf_counter() - t0
 
-  t0 = time.perf_counter()
-  for snap in snapshots:
-    restore(snap)
-    out = run()
-  _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
-  elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
-  frames_per_sec = iters * t_len / elapsed
+  # Same variance-robust protocol as inference mode: K independent
+  # windows, median reported, spread printed (snapshots are re-copied
+  # per window OUTSIDE its timing, since every run donates them).
+  repeats = int(os.environ.get('SE3DS_BENCH_REPEATS', 3))
+  window_rates = []
+  for _ in range(repeats):
+    snapshots = make_snapshots()
+    # Fetch barrier: the snapshot copies are async device work; drain
+    # them before the window timer starts (block_until_ready does not
+    # synchronise through the relay).
+    _ = np.asarray(snapshots[-1][1][..., 0, 0, :1])
+    t0 = time.perf_counter()
+    for snap in snapshots:
+      restore(snap)
+      out = run()
+    _ = np.asarray(out.pred_rgb[..., 0, 0, :4])
+    elapsed = max(time.perf_counter() - t0 - fetch_latency, 1e-9)
+    window_rates.append(iters * t_len / elapsed)
+  frames_per_sec = float(np.median(window_rates))
+  if repeats > 1:
+    spread = (max(window_rates) - min(window_rates)) / frames_per_sec
+    print(f'# windows {[round(r, 2) for r in window_rates]} '
+          f'panos/sec; median {frames_per_sec:.2f}, spread '
+          f'{spread * 100:.1f}%', file=sys.stderr)
   tag = 'fused-trajectory' if fused else 'per-frame trajectory'
   unit_tag = 'frames/program' if fused else 'host dispatches/frame'
   print(json.dumps({
