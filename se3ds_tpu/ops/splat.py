@@ -485,7 +485,14 @@ def project_to_feat_sorted_packed(
     input_void_class: float,
     output_void_class: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Byte-packed sorted splat: EXACT semantics at near-'fast' cost.
+  """Byte-packed sorted splat: EXACT semantics, one packed sort payload.
+
+  Measured on-chip at 'scatter' cost (~36 ms/splat at 1M points,
+  PERF.md round-4 mode menu): the (pixel, depth) sort is cheap (~4.5 ms)
+  but the log-step segmented window passes dominate — the round-3
+  "near-'fast'" estimate did not survive measurement. `pallas_exact`
+  is the fastest exact mode; this one remains the exact mode with the
+  simplest all-XLA lowering (no Mosaic dependency).
 
   Bit-identical to `project_to_feat` whenever features are integer-valued
   in [0, 255] — true for every product call site (RGB bytes, semantic
