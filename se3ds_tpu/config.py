@@ -96,14 +96,31 @@ def bind(target: str, param: str, value: Any) -> None:
   _BINDINGS.setdefault(_short_name(target), {})[param] = value
 
 
+_IDENT_RE = re.compile(r'^\w+$')
+
+
 def _parse_value(text: str) -> Any:
   text = text.strip()
   if text.startswith('@'):
-    return ConfigurableReference(text[1:].strip())
+    ref = text[1:].strip()
+    if ref.endswith('()'):
+      # gin's evaluated references (`@Name()` calls the configurable at
+      # binding time). None of the reference configs use them; rejecting
+      # loudly beats silently registering a reference named 'Name()'.
+      raise ValueError(
+          f'Evaluated gin references (@{ref}) are not supported; bind '
+          f'@{ref[:-2]} and call it where it is consumed.')
+    if '/' in ref:
+      raise ValueError(
+          f'Scoped gin references (@{ref}) are not supported; this '
+          'config system has a single global scope.')
+    return ConfigurableReference(ref)
   if text.startswith('%'):
     macro = text[1:].strip()
     if macro not in _MACROS:
-      raise KeyError(f'Undefined macro %{macro}')
+      raise KeyError(
+          f'Undefined macro %{macro} (macros must be defined before '
+          f'use; known: {sorted(_MACROS)})')
     return _MACROS[macro]
   lowered = text.lower()
   if lowered == 'true':
@@ -115,17 +132,45 @@ def _parse_value(text: str) -> Any:
   try:
     return ast.literal_eval(text)
   except (ValueError, SyntaxError):
-    return text  # bare string
+    # gin requires strings to be quoted; accept a bare identifier as a
+    # string for convenience but reject anything structured — a value
+    # like `[1, 2,]x` silently becoming a string hides config typos.
+    if _IDENT_RE.match(text):
+      return text
+    raise ValueError(
+        f'Cannot parse gin value {text!r} (strings must be quoted; '
+        'lists/tuples must be valid Python literals).') from None
 
 
-_LINE_RE = re.compile(r'^(?P<target>[\w.]+)\s*=\s*(?P<value>.+)$')
+def _strip_comment(line: str) -> str:
+  """Removes a trailing `# comment`, ignoring `#` inside quotes."""
+  quote = None
+  for i, ch in enumerate(line):
+    if quote:
+      if ch == quote:
+        quote = None
+    elif ch in ('"', "'"):
+      quote = ch
+    elif ch == '#':
+      return line[:i]
+  return line
+
+
+_LINE_RE = re.compile(r'^(?P<target>[\w./]+)\s*=\s*(?P<value>.+)$')
 
 
 def parse_config(config_str: str) -> None:
-  """Parses gin-format text into the binding store."""
+  """Parses gin-format text into the binding store.
+
+  Supports the constructs the reference configs use (see module
+  docstring) plus multiline lists/tuples and quoted `#`; gin features
+  with no counterpart here — scopes (`a/b.c`), evaluated references
+  (`@f()`), `include` — are rejected with a loud error rather than
+  silently misread.
+  """
   pending = ''
   for raw_line in config_str.splitlines():
-    line = raw_line.split('#', 1)[0].rstrip()
+    line = _strip_comment(raw_line).rstrip()
     if not line.strip():
       continue
     if pending:
@@ -137,12 +182,20 @@ def parse_config(config_str: str) -> None:
       pending = line
       continue
     stripped = line.strip()
-    if stripped.startswith(('import ', 'from ', 'include ')):
-      continue
+    if stripped.startswith(('import ', 'from ')):
+      continue  # gin imports register python modules; our registry is static
+    if stripped.startswith('include'):
+      raise ValueError(
+          f'gin `include` is not supported ({stripped!r}); pass every '
+          'config file explicitly to parse_config_files_and_bindings.')
     m = _LINE_RE.match(stripped)
     if not m:
       raise ValueError(f'Cannot parse gin line: {raw_line!r}')
     target = m.group('target')
+    if '/' in target:
+      raise ValueError(
+          f'gin scopes are not supported ({target!r}); this config '
+          'system has a single global scope — drop the scope prefix.')
     value = _parse_value(m.group('value'))
     if '.' not in target:
       _MACROS[target] = value
