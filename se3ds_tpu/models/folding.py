@@ -72,6 +72,11 @@ def fold_spectral_variables(model: nn.Module, variables: Any, sample_cond,
       tree = tree[k]
     return tree
 
+  # The fold math stays EAGER deliberately: bitwise equality with the
+  # live path holds at per-primitive compilation granularity; fusing the
+  # power-iteration matvecs + divide into one jitted program changes the
+  # result bits (measured — tests/test_folding.py catches it). Only a
+  # handful of SpectralConv paths exist, so the eager cost is small.
   for path in paths:
     node = get(params, path)
     u = jnp.asarray(get(spectral, path)['u'], jnp.float32)
@@ -81,12 +86,17 @@ def fold_spectral_variables(model: nn.Module, variables: Any, sample_cond,
     node['kernel'] = w_norm.reshape(kernel.shape)
 
   if cast_dtype is not None:
+    # The cast pass touches EVERY conv kernel (hundreds of leaves);
+    # jitted it is one device program instead of one relay round trip
+    # per kernel. dtype casts round deterministically (no fusion risk),
+    # so this keeps the bitwise guarantee.
     def cast(path_keys, leaf):
       name = path_keys[-1].key if hasattr(path_keys[-1], 'key') else None
       if name == 'kernel':
         return jnp.asarray(leaf, jnp.float32).astype(cast_dtype)
       return leaf
-    params = jax.tree_util.tree_map_with_path(cast, params)
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map_with_path(cast, p))(params)
 
   out = {k: v for k, v in variables.items() if k != 'spectral'}
   out['params'] = params

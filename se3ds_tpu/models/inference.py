@@ -371,7 +371,13 @@ class SE3DSModel:
           'proj_mask': jnp.zeros((1, self.height, self.width, 1)),
           'blurred_mask': jnp.zeros((1, self.height, self.width, 1)),
       }
-      self.variables = self.model.init(rng, cond, train=False)
+      # Jit the init: eagerly, Flax init EXECUTES the whole forward op by
+      # op — hundreds of separate device programs (minutes through the
+      # axon relay, each op a round trip). Under jit the discarded
+      # forward is dead-code-eliminated, leaving one small program of
+      # parameter initializers.
+      self.variables = jax.jit(
+          functools.partial(self.model.init, train=False))(rng, cond)
       print('Initializing SE3DS model from scratch.')
 
     if config.fold_spectral and 'spectral' in self.variables:
