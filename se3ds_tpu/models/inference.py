@@ -243,7 +243,31 @@ def memory_project(memory: MemoryState, position: jnp.ndarray, height: int,
   `mesh_axis` (parallel/splat_shard.py): each device scatters M/n
   points and the z-buffers merge over ICI — bit-identical combines,
   near-linear splat scaling in devices for long-trajectory memories.
+
+  splat_mode='dual_sorted' fuses the pair into ONE shared-sort splat
+  (exact semantics, geometry.project_dual_to_equirectangular); it
+  requires project_semantics=True and no mesh. Measured SLOWER than two
+  'fast' splats at trajectory scale (PERF.md "Shared-sort dual splat") —
+  kept as the exact-mode fusion record.
   """
+  if splat_mode == 'dual_sorted':
+    if mesh is not None or not project_semantics:
+      raise ValueError(
+          "splat_mode='dual_sorted' fuses the semantic+RGB pair, so it "
+          'needs project_semantics=True and has no sharded path.')
+    relative_position = _transform_position(position.astype(jnp.float32))
+    proj_depth, proj_semantic, proj_rgb = (
+        geometry.project_dual_to_equirectangular(
+            memory.feats, memory.coords - relative_position[..., None],
+            memory.rgb, memory.rgb_coords - relative_position[..., None],
+            height, width, sem_void_class=constants.INVALID_SEM_VALUE,
+            rgb_void_class=constants.INVALID_RGB_VALUE,
+            depth_scale=depth_scale))
+    proj_mask = (
+        (proj_depth > 0) & (proj_depth < 1)
+        & jnp.all(proj_rgb != constants.INVALID_RGB_VALUE, axis=-1)
+    ).astype(jnp.float32)[..., None]
+    return proj_semantic, proj_depth, proj_rgb, proj_mask
   if mesh is not None:
     from se3ds_tpu.parallel import splat_shard  # lazy import
     project = functools.partial(
@@ -380,19 +404,23 @@ class SE3DSModel:
           functools.partial(self.model.init, train=False))(rng, cond)
       print('Initializing SE3DS model from scratch.')
 
-    if config.fold_spectral and 'spectral' in self.variables:
-      # Fold sigma into the kernels once (bitwise-equal at eval) and
-      # pre-cast conv kernels to the compute dtype — skips ~2 full
-      # passes over every weight per forward (models/folding.py).
-      from se3ds_tpu.models import folding  # lazy import
-      cond = {
-          'proj_image': jnp.zeros((1, self.height, self.width, 3)),
-          'proj_depth': jnp.zeros((1, self.height, self.width, 1)),
-          'proj_mask': jnp.zeros((1, self.height, self.width, 1)),
-          'blurred_mask': jnp.zeros((1, self.height, self.width, 1)),
-      }
-      self.variables = folding.fold_spectral_variables(
-          self.model, self.variables, cond, cast_dtype=dtype)
+    if config.fold_spectral:
+      if 'spectral' in self.variables:
+        # Fold sigma into the kernels once (bitwise-equal at eval) and
+        # pre-cast conv kernels to the compute dtype — skips ~2 full
+        # passes over every weight per forward (models/folding.py).
+        from se3ds_tpu.models import folding  # lazy import
+        cond = {
+            'proj_image': jnp.zeros((1, self.height, self.width, 3)),
+            'proj_depth': jnp.zeros((1, self.height, self.width, 1)),
+            'proj_mask': jnp.zeros((1, self.height, self.width, 1)),
+            'blurred_mask': jnp.zeros((1, self.height, self.width, 1)),
+        }
+        self.variables = folding.fold_spectral_variables(
+            self.model, self.variables, cond, cast_dtype=dtype)
+      # Folded variables — just produced, or passed in PRE-folded from
+      # another model instance (variables=other.variables) — need the
+      # fold-aware module (PartialConv skips the spectral-u lookup).
       self.model = generator_lib.ResNetGenerator(
           image_size=config.image_height,
           resnet_version=config.resnet_version, gen_dims=config.gen_dims,

@@ -185,6 +185,35 @@ def project_feats_to_equirectangular(
                   depth_scale=depth_scale, input_void_class=void_class)
 
 
+def project_dual_to_equirectangular(
+    sem_feats: jnp.ndarray,
+    sem_xyz1: jnp.ndarray,
+    rgb_feats: jnp.ndarray,
+    rgb_xyz1: jnp.ndarray,
+    height: int,
+    width: int,
+    sem_void_class: float,
+    rgb_void_class: float,
+    depth_scale: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Shared-sort semantic+RGB equirectangular splat (one sort, two images).
+
+  The dual-cloud sibling of `project_feats_to_equirectangular`: both
+  clouds' view coordinates feed `splat.project_dual_sorted_packed`,
+  which sorts the union once by (pixel, depth) and resolves both
+  guidance images with one combining scatter. Exact semantics
+  (bit-identical to splat_mode='scatter' per cloud for byte features).
+
+  Returns (rgb_depth (N, H, W), sem_img (N, H, W, 1), rgb_img (N, H, W, 3)).
+  """
+  dtype = rgb_xyz1.dtype
+  return splat.project_dual_sorted_packed(
+      equirect_view_coords(sem_xyz1), sem_feats.astype(dtype),
+      equirect_view_coords(rgb_xyz1), rgb_feats.astype(dtype),
+      height, width, depth_scale=depth_scale,
+      sem_void_class=sem_void_class, rgb_void_class=rgb_void_class)
+
+
 def equirectangular_to_pointcloud(
     feats: jnp.ndarray,
     depth: jnp.ndarray,

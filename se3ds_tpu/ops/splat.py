@@ -476,6 +476,113 @@ def project_to_feat_sorted(
   return projected_depth, projected_feat
 
 
+def project_dual_sorted_packed(
+    sem_coords: jnp.ndarray,
+    sem_feats: jnp.ndarray,
+    rgb_coords: jnp.ndarray,
+    rgb_feats: jnp.ndarray,
+    height: int,
+    width: int,
+    depth_scale: float,
+    sem_void_class: float,
+    rgb_void_class: float,
+    output_void_class: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Shared-sort semantic+RGB splat: ONE (pixel, depth) sort, two images.
+
+  The per-frame guidance pair (semantic cloud + RGB cloud, reference
+  models.py:276-281) normally costs two independent splats. This mode
+  concatenates both clouds into one combined pixel-id space (semantic
+  pixels [0, P), RGB pixels [P, 2P), P = height*width), sorts ONCE by
+  (combined id, clipped depth), runs the segmented window passes of
+  `project_to_feat_sorted_packed` over the union — runs never span the
+  image boundary because the id ranges are disjoint — and resolves both
+  images with ONE combining u32 scatter-max into a 2P buffer. Semantic
+  bytes ride lane 0 with zero lanes 1-2; RGB rides all three lanes; runs
+  are homogeneous (all-semantic or all-RGB) so lanes never mix.
+
+  Bit-identical to `project_to_feat` (exact mode) on each cloud for
+  byte-valued features — the same exactness contract and byte-lane
+  caveats as `project_to_feat_sorted_packed`. The returned depth image
+  is the RGB cloud's exact f32 scatter-min (the product path discards
+  the semantic depth buffer, models/inference.memory_project).
+
+  Args:
+    sem_coords: (N, 4, Ms) equirect-view semantic-cloud coordinates.
+    sem_feats: (N, Ms, 1) semantic class features.
+    rgb_coords: (N, 4, Mr) equirect-view RGB-cloud coordinates.
+    rgb_feats: (N, Mr, 3) RGB byte features.
+
+  Returns:
+    (rgb_depth (N, H, W), sem_img (N, H, W, 1), rgb_img (N, H, W, 3)).
+  """
+  dtype = rgb_coords.dtype
+  sem_feats = sem_feats.astype(dtype)
+  rgb_feats = rgb_feats.astype(dtype)
+  batch_size = rgb_coords.shape[0]
+  num_pixels = height * width
+
+  flat_s, depth_s, _ = pixel_coords(sem_coords, sem_feats, height, width,
+                                    sem_void_class)
+  flat_r, depth_r, _ = pixel_coords(rgb_coords, rgb_feats, height, width,
+                                    rgb_void_class)
+
+  # Exact f32 depth buffer over the RGB cloud only (as the product path:
+  # the semantic splat's depth output is discarded/DCE'd).
+  zbuf = jnp.full((batch_size, num_pixels), depth_scale, dtype)
+  zbuf = _batched_scatter_min(zbuf, flat_r, depth_r)
+  projected_depth = (jnp.clip(zbuf, 0.0, depth_scale) / depth_scale
+                     ).reshape(batch_size, height, width)
+
+  # Combined id space; the shared sentinel 2P sorts last and the final
+  # scatter (buffer size 2P, mode='drop') skips it.
+  ids = jnp.concatenate([
+      jnp.where(flat_s < num_pixels, flat_s, 2 * num_pixels),
+      jnp.where(flat_r < num_pixels, flat_r + num_pixels, 2 * num_pixels),
+  ], axis=1)
+  depth_c = jnp.concatenate([depth_s, depth_r], axis=1)
+  sem_bytes = jnp.clip(sem_feats[..., 0], 0.0, 255.0).astype(jnp.uint32)
+  packed_s = sem_bytes << 16
+  rgb_bytes = jnp.clip(rgb_feats, 0.0, 255.0).astype(jnp.uint32)
+  packed_r = ((rgb_bytes[..., 0] << 16) | (rgb_bytes[..., 1] << 8)
+              | rgb_bytes[..., 2])
+  packed = jnp.concatenate([packed_s, packed_r], axis=1)
+
+  def one_batch(ids_b, depth_b, packed_b):
+    clipped = jnp.minimum(depth_b, depth_scale)
+    sids, sclip, sraw, spacked = jax.lax.sort(
+        [ids_b, clipped, depth_b, packed_b], num_keys=2)
+    lanes = jnp.stack(
+        [((spacked >> (8 * (2 - c))) & 0xFF).astype(jnp.int32)
+         for c in range(3)], axis=-1)
+    seg = _segmented_window_max(sids, sclip, sraw, lanes,
+                                2 * num_pixels, -1)
+    valid_run = seg[:, 0] >= 0
+    out_packed = jnp.zeros_like(spacked)
+    for c in range(3):
+      out_packed = out_packed | (
+          (seg[:, c].astype(jnp.uint32) & 0xFF) << (8 * (2 - c) + 1))
+    out_packed = jnp.where(valid_run, out_packed | 1, 0)
+    return jnp.zeros((2 * num_pixels,), jnp.uint32).at[sids].max(
+        out_packed, mode='drop')
+
+  pbuf = jax.vmap(one_batch)(ids, depth_c, packed)
+
+  def unpack(part, channels, void_value):
+    got = part != 0
+    void = jnp.asarray(void_value, dtype)
+    cols = []
+    for c in range(channels):
+      col = ((part >> (8 * (2 - c) + 1)) & 0xFF).astype(dtype)
+      cols.append(jnp.where(got, jnp.maximum(col, void), void))
+    return jnp.stack(cols, axis=-1).reshape(
+        batch_size, height, width, channels)
+
+  sem_img = unpack(pbuf[:, :num_pixels], 1, output_void_class)
+  rgb_img = unpack(pbuf[:, num_pixels:], 3, output_void_class)
+  return projected_depth, sem_img, rgb_img
+
+
 def project_to_feat_sorted_packed(
     transformed_coords: jnp.ndarray,
     feats: jnp.ndarray,

@@ -205,3 +205,54 @@ def test_z_generator_modes():
     ds_lib.R2RImageDataset(image_size=32, z_generator='gpu')
   z = ds_lib.device_z(jax.random.PRNGKey(0), 4, z_dim=16)
   assert z.shape == (4, 16) and z.dtype == np.float32
+
+
+def test_sharded_input_partitions_disjoint_and_complete(tmp_path):
+  """Multi-host sharding (reference base_dataset.py:105-143): N-shard
+  runs must partition the record set DISJOINTLY and COMPLETELY at the
+  file level, with shuffle on (each shard's rng is seeded seed+shard so
+  the shuffle cannot leak records across shards), and per-host batch
+  size = global // num_shards."""
+  from se3ds_tpu.data import example_pb, tfrecord
+
+  # 4 files x 5 records with GLOBALLY unique filenames (the fixture
+  # writer reuses img%d per file, so write files directly).
+  rng = np.random.RandomState(0)
+  gid = 0
+  for f in range(4):
+    with tfrecord.TFRecordWriter(
+        str(tmp_path / f'train-{f}.tfrecord')) as w:
+      for _ in range(5):
+        raw = synthetic.make_image_example(height=64, rng=rng, index=gid)
+        gid += 1
+        w.write(raw)
+  all_ids = {b'img%d.png' % i for i in range(gid)}
+
+  ds = datasets.R2RImageDataset(
+      image_size=32, preprocessed_image_height=64, data_dir=str(tmp_path),
+      return_filename=True)
+
+  def collect(num_shards, shard_index, **kw):
+    it = ds.input_fn('train', global_batch_size=4, num_epochs=1,
+                     num_shards=num_shards, shard_index=shard_index,
+                     shuffle=True, shuffle_buffer_size=7, seed=11,
+                     drop_remainder=False, **kw)
+    ids = []
+    for batch in it:
+      assert batch['image'].shape[0] <= 4 // num_shards
+      ids.extend(batch['filename'])
+    return ids
+
+  shard_ids = [collect(2, s) for s in range(2)]
+  for ids in shard_ids:
+    assert len(ids) == len(set(ids)) == 10  # complete, no duplicates
+  assert set(shard_ids[0]) & set(shard_ids[1]) == set()  # disjoint
+  assert set(shard_ids[0]) | set(shard_ids[1]) == all_ids  # complete
+
+  # Same seed, same shard -> deterministic order (restart reproducibility);
+  # different shards see different shuffle streams (seed + shard_index).
+  assert collect(2, 0) == shard_ids[0]
+
+  # 1-shard run sees everything exactly once too.
+  ids1 = collect(1, 0)
+  assert sorted(ids1) == sorted(all_ids)
