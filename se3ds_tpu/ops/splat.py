@@ -699,3 +699,86 @@ def project_to_feat_sorted_packed(
   if is_scalar_feat:
     projected_feat = projected_feat[..., 0]
   return projected_depth, projected_feat
+
+
+def reference_pollute_pixel0(
+    projected_depth: jnp.ndarray,
+    projected_feat: jnp.ndarray,
+    transformed_coords: jnp.ndarray,
+    feats: jnp.ndarray,
+    height: int,
+    width: int,
+    input_void_class: float,
+    depth_scale: float,
+    output_void_class: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Emulates the reference's flat-index-0 pollution for parity testing.
+
+  The reference scatter (point_cloud_utils.py:152-176) zeroes the flat
+  pixel index of (a) invalid points — out-of-bounds, depth <= 0, or
+  void features — BEFORE the depth scatter-min, and (b) depth-window
+  losers (`flat_depth >= min_depth + 0.1`) before the feature
+  scatter-max. Both groups therefore write into flat index 0 == pixel
+  (0, 0) of batch element 0: its depth becomes the min over all invalid
+  points' projected depths (possibly negative, clipped to 0) and its
+  features the max over every invalid point, every window loser from
+  EVERY batch element, and its own genuine winners.
+
+  Every product splat mode deliberately drops those points instead (the
+  one documented output deviation, README/PARITY). This helper rewrites
+  pixel (0, 0) of batch 0 of a clean splat output with the reference's
+  polluted value so end-to-end protocol-parity tests
+  (scripts/test_fid_parity.py) can compare against the live reference
+  bit-tightly. It is NOT wired into any product path.
+
+  Args:
+    projected_depth: (N, H, W) clean splat depth in [0, 1].
+    projected_feat: (N, H, W, C) or (N, H, W) clean splat features.
+    transformed_coords: (N, 4, M) PROJECTED pose-relative coordinates —
+      the same tensor every splat mode consumes (for the
+      equirectangular path: geometry.equirect_view_coords output).
+    feats: (N, M) or (N, M, C) point features.
+    height: Image height in pixels.
+    width: Image width in pixels.
+    input_void_class: Feature value marking an invalid input point.
+    depth_scale: Maximum depth in metres.
+    output_void_class: Reference fill value for empty pixels.
+
+  Returns:
+    (projected_depth, projected_feat) with batch-0 pixel (0, 0)
+    replaced by the reference's polluted value.
+  """
+  is_scalar_feat = feats.ndim == 2
+  if is_scalar_feat:
+    feats = feats[..., None]
+  dtype = transformed_coords.dtype
+  f = feats.astype(dtype)
+  batch_size, _, _ = transformed_coords.shape
+  num_pixels = height * width
+
+  flat, depth, valid = pixel_coords(transformed_coords, f, height, width,
+                                    input_void_class)
+  offsets = (jnp.arange(batch_size, dtype=jnp.int32) * num_pixels)[:, None]
+  flat_g = jnp.where(valid, flat + offsets, 0).reshape(-1)
+  d = depth.reshape(-1)
+
+  scat = jnp.full((batch_size * num_pixels,), depth_scale,
+                  dtype).at[flat_g].min(d)
+  depth0 = jnp.clip(scat[0], 0.0, depth_scale) / depth_scale
+
+  min_depth = scat[flat_g]
+  flat2 = flat_g * (d < min_depth + 0.1).astype(jnp.int32)
+  cand = jnp.where((flat2 == 0)[:, None], f.reshape(-1, f.shape[-1]),
+                   -jnp.inf)
+  feat0 = jnp.maximum(jnp.asarray(output_void_class, dtype),
+                      jnp.max(cand, axis=0))
+
+  projected_depth = projected_depth.at[0, 0, 0].set(
+      depth0.astype(projected_depth.dtype))
+  if is_scalar_feat:
+    projected_feat = projected_feat.at[0, 0, 0].set(
+        feat0[0].astype(projected_feat.dtype))
+  else:
+    projected_feat = projected_feat.at[0, 0, 0].set(
+        feat0.astype(projected_feat.dtype))
+  return projected_depth, projected_feat
