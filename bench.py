@@ -501,7 +501,10 @@ def bench_trajectory():
   window_rates = []
   last_window_s = 0.0
   for k in range(repeats):
-    if window_rates and (
+    # As in inference mode: cheap windows (few seconds) always complete
+    # even past the budget — a median-of-3 beats a median-of-1 and the
+    # added seconds are negligible vs the driver-kill margin.
+    if window_rates and last_window_s > 5.0 and (
         time.perf_counter() + 1.4 * last_window_s > deadline):
       hb(f'budget: stopping after {len(window_rates)} windows')
       break
@@ -616,8 +619,23 @@ def main():
         'vs_baseline': round(panos_per_sec / GPU_BASELINE_PANOS_PER_SEC, 4),
     }
 
+  # Untimed spin window: the first post-compile window consistently
+  # reads ~5% low (device/relay ramp — e.g. windows [14.79, 15.51,
+  # 15.67] cold, [15.57, 15.91, 16.12] warm on 2026-08-21); one
+  # throwaway window (~1 s) lets every MEASURED window run steady-state.
+  if time.perf_counter() + 5.0 < deadline:
+    for _ in range(iters):
+      out = model(target)
+    _ = np.asarray(out.pred_rgb[0, 0, :4])
+    hb('spin window done')
+
   for k in range(repeats):
-    if window_rates and (
+    # Budget stop — but only when a window is actually expensive: after
+    # a slow remote compile eats the budget, the ~0.7 s windows are
+    # negligible risk vs a driver kill and a median-of-3 beats a
+    # median-of-1 (measured: compile fetch alone ranged 150-443 s
+    # across 2026-08-21 runs with identical code and a warm cache).
+    if window_rates and last_window_s > 5.0 and (
         time.perf_counter() + 1.2 * last_window_s > deadline):
       hb(f'budget: stopping after {len(window_rates)} windows')
       break
