@@ -173,6 +173,7 @@ def bench_train():
       [batch_data['image'][:1], batch_data['depth'][:1]], -1)
   st = state_lib.create_train_state(jax.random.PRNGKey(1), generator,
                                     discriminator, cond, disc_in, g_tx, d_tx)
+  hb('train state built')
   cluster = {k: jnp.broadcast_to(v, (nbs,) + v.shape)
              for k, v in batch_data.items()}
   cluster_fn = jax.jit(functools.partial(
@@ -188,9 +189,12 @@ def bench_train():
           s, c, generator=generator, discriminator=discriminator,
           g_tx=g_tx, d_tx=d_tx, hp=hp),
       st, cluster)
+  hb('analytic FLOP count done')
 
   st, metrics = cluster_fn(st, cluster)
+  hb('warmup cluster dispatched; fetching (first fetch = remote compile)')
   _ = np.asarray(metrics['gen/gen_loss'])  # compile barrier (host fetch)
+  hb('compile fetch done')
   t0 = time.perf_counter()
   _ = np.asarray(metrics['gen/gen_loss'])
   fetch_latency = time.perf_counter() - t0
@@ -254,6 +258,7 @@ def bench_eval():
   }
   variables = model.init(jax.random.PRNGKey(0), cond, train=False)
   inception_vars = inception_lib.init_variables()
+  hb('models initialised')
 
   def generator_apply(v, c):
     full = dict(c)
@@ -293,7 +298,9 @@ def bench_eval():
     return pools, rmse
 
   pools, rmse = eval_step(variables, video, jax.random.PRNGKey(1))
+  hb('warmup rollout dispatched; fetching (first fetch = remote compile)')
   _ = np.asarray(pools[1][0, :2])
+  hb('compile fetch done')
   t0 = time.perf_counter()
   _ = np.asarray(pools[1][0, :2])
   fetch_latency = time.perf_counter() - t0
